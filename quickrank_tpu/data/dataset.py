@@ -1,0 +1,262 @@
+"""Host-side dataset container and device-side padded/sharded layout.
+
+Reference counterparts:
+  * ``Dataset`` — include/data/dataset.h:45 (row-major docs x features plus
+    query offsets).  The vertical (feature-major) twin
+    (include/data/vertical_dataset.h:46) is unnecessary here: XLA owns
+    layout, so one logical array suffices.
+  * ``QueryResults`` / ``RankedResults`` (include/data/queryresults.h:36,
+    include/data/rankedresults.h:37) — replaced by the padded per-query
+    gather map built in :func:`shard_and_pad`, which turns flat doc arrays
+    into ``[num_queries_padded, max_docs]`` views with a validity mask.
+
+TPU-first design: docs live in one flat ``[num_docs_padded, num_features]``
+array whose leading axis is sharded over the device mesh; queries are
+assigned to shards contiguously so a query never straddles a shard.  The
+``pad_index`` map is *shard-local*, so inside ``shard_map`` every gather and
+scatter is local — the only cross-chip traffic in training is the histogram
+``psum`` and metric mean reductions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from quickrank_tpu.types import FEATURE_DTYPE, LABEL_DTYPE, QID_DTYPE
+
+
+@dataclasses.dataclass
+class Dataset:
+    """Host-side (numpy) learning-to-rank dataset.
+
+    features: float32 ``[num_docs, num_features]`` (1-based feature ids from
+        SVML map to columns ``fid - 1``).
+    labels: float32 ``[num_docs]`` relevance judgments.
+    query_offsets: int64 ``[num_queries + 1]`` — docs of query ``q`` are rows
+        ``query_offsets[q]:query_offsets[q+1]`` (mirrors dataset.h's
+        offsets_ vector semantics).
+    qids: original query identifiers ``[num_queries]``.
+    """
+
+    features: np.ndarray
+    labels: np.ndarray
+    query_offsets: np.ndarray
+    qids: np.ndarray
+    name: str = ""
+
+    @property
+    def num_docs(self) -> int:
+        return int(self.features.shape[0])
+
+    @property
+    def num_features(self) -> int:
+        return int(self.features.shape[1])
+
+    @property
+    def num_queries(self) -> int:
+        return int(len(self.query_offsets) - 1)
+
+    @property
+    def max_docs_per_query(self) -> int:
+        return int(np.max(np.diff(self.query_offsets)))
+
+    def docs_per_query(self) -> np.ndarray:
+        return np.diff(self.query_offsets).astype(np.int64)
+
+    def query_slice(self, q: int) -> slice:
+        return slice(int(self.query_offsets[q]), int(self.query_offsets[q + 1]))
+
+    def validate(self) -> None:
+        assert self.features.ndim == 2
+        assert self.labels.shape == (self.features.shape[0],)
+        assert self.query_offsets[0] == 0
+        assert self.query_offsets[-1] == self.features.shape[0]
+        assert np.all(np.diff(self.query_offsets) > 0)
+
+    @staticmethod
+    def from_arrays(features, labels, qids_per_doc, name: str = "") -> "Dataset":
+        """Build from per-doc qid array (docs with equal consecutive qids form
+        a query, mirroring Svml::read_horizontal's append semantics,
+        src/io/svml.cc:38-161)."""
+        features = np.ascontiguousarray(features, dtype=FEATURE_DTYPE)
+        labels = np.ascontiguousarray(labels, dtype=LABEL_DTYPE)
+        qids_per_doc = np.asarray(qids_per_doc)
+        boundaries = np.flatnonzero(
+            np.concatenate(([True], qids_per_doc[1:] != qids_per_doc[:-1]))
+        )
+        offsets = np.concatenate(
+            (boundaries, [len(qids_per_doc)])
+        ).astype(QID_DTYPE)
+        qids = qids_per_doc[boundaries].astype(QID_DTYPE)
+        ds = Dataset(features, labels, offsets, qids, name=name)
+        ds.validate()
+        return ds
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@struct.dataclass
+class PaddedDataset:
+    """Device-resident, statically-shaped, shard-friendly dataset layout.
+
+    All arrays are stacked over ``num_shards`` equally-sized shard blocks so
+    that sharding axis 0 of every array over a mesh axis gives each device a
+    self-contained local block:
+
+      features   f32 ``[S * docs_per_shard, F]``   (padding rows are zero)
+      labels     f32 ``[S * docs_per_shard]``
+      doc_mask   bool ``[S * docs_per_shard]``     (False for padding docs)
+      pad_index  i32 ``[S * queries_per_shard, max_docs]`` — *shard-local*
+                 row index of each (query, slot) within its shard block;
+                 padding slots point at the shard's last (dummy) row.
+      slot_mask  bool ``[S * queries_per_shard, max_docs]``
+      query_mask bool ``[S * queries_per_shard]``
+      nvalid     i32 ``[S * queries_per_shard]`` docs per query (0 for pad)
+
+    Static (non-pytree) metadata: num_shards, docs_per_shard,
+    queries_per_shard, max_docs, num_features.
+    """
+
+    features: jnp.ndarray
+    labels: jnp.ndarray
+    doc_mask: jnp.ndarray
+    pad_index: jnp.ndarray
+    slot_mask: jnp.ndarray
+    query_mask: jnp.ndarray
+    nvalid: jnp.ndarray
+    num_shards: int = struct.field(pytree_node=False, default=1)
+    docs_per_shard: int = struct.field(pytree_node=False, default=0)
+    queries_per_shard: int = struct.field(pytree_node=False, default=0)
+    max_docs: int = struct.field(pytree_node=False, default=0)
+    num_features: int = struct.field(pytree_node=False, default=0)
+    num_real_docs: int = struct.field(pytree_node=False, default=0)
+    num_real_queries: int = struct.field(pytree_node=False, default=0)
+
+    @property
+    def num_docs_padded(self) -> int:
+        return self.num_shards * self.docs_per_shard
+
+    @property
+    def num_queries_padded(self) -> int:
+        return self.num_shards * self.queries_per_shard
+
+    @property
+    def pad_index_global(self) -> jnp.ndarray:
+        """pad_index with each query's rows offset into its shard's block of
+        the stacked global doc axis — for host-side / unsharded use.  Inside
+        ``shard_map`` use the local ``pad_index`` directly."""
+        shard_of_q = jnp.arange(self.num_queries_padded) // self.queries_per_shard
+        return self.pad_index + (shard_of_q * self.docs_per_shard)[:, None].astype(
+            self.pad_index.dtype
+        )
+
+
+def assign_queries_to_shards(doc_counts: np.ndarray, num_shards: int) -> list:
+    """Contiguously partition queries into ``num_shards`` groups with roughly
+    balanced total doc counts (queries keep their original order; a query
+    never straddles shards — per-query lambda computation is shard-local,
+    like the per-query OpenMP loop at src/learning/forests/lambdamart.cc:70).
+    """
+    total = int(doc_counts.sum())
+    target = total / num_shards
+    groups: list = []
+    cum = np.cumsum(doc_counts)
+    start = 0
+    for s in range(num_shards - 1):
+        # Ideal boundary: first query index whose cumulative count reaches
+        # (s+1) * target; keep at least one query per remaining shard.
+        bound = int(np.searchsorted(cum, (s + 1) * target))
+        remaining_shards = num_shards - s - 1
+        bound = min(max(bound, start + 1), len(doc_counts) - remaining_shards)
+        groups.append(list(range(start, bound)))
+        start = bound
+    groups.append(list(range(start, len(doc_counts))))
+    return groups
+
+
+def shard_and_pad(
+    ds: Dataset,
+    num_shards: int = 1,
+    max_docs: Optional[int] = None,
+    doc_align: int = 8,
+) -> PaddedDataset:
+    """Lay the host dataset out in the static sharded format above."""
+    counts = ds.docs_per_query()
+    if len(counts) < num_shards:
+        raise ValueError(
+            f"num_queries={len(counts)} < num_shards={num_shards}"
+        )
+    dmax = int(max_docs or counts.max())
+    if counts.max() > dmax:
+        raise ValueError(f"max_docs={dmax} < longest query ({counts.max()})")
+
+    groups = assign_queries_to_shards(counts, num_shards)
+    q_loc = max(len(g) for g in groups)
+    # +1 dummy doc row per shard that padding slots point at.
+    n_loc = _round_up(max(int(counts[g].sum()) for g in groups) + 1, doc_align)
+
+    F = ds.num_features
+    S = num_shards
+    features = np.zeros((S * n_loc, F), dtype=FEATURE_DTYPE)
+    labels = np.zeros((S * n_loc,), dtype=LABEL_DTYPE)
+    doc_mask = np.zeros((S * n_loc,), dtype=bool)
+    pad_index = np.full((S * q_loc, dmax), n_loc - 1, dtype=np.int32)
+    slot_mask = np.zeros((S * q_loc, dmax), dtype=bool)
+    query_mask = np.zeros((S * q_loc,), dtype=bool)
+    nvalid = np.zeros((S * q_loc,), dtype=np.int32)
+
+    for s, qs in enumerate(groups):
+        row = 0
+        for qi, q in enumerate(qs):
+            sl = ds.query_slice(q)
+            n = sl.stop - sl.start
+            features[s * n_loc + row : s * n_loc + row + n] = ds.features[sl]
+            labels[s * n_loc + row : s * n_loc + row + n] = ds.labels[sl]
+            doc_mask[s * n_loc + row : s * n_loc + row + n] = True
+            gq = s * q_loc + qi
+            pad_index[gq, :n] = np.arange(row, row + n, dtype=np.int32)
+            slot_mask[gq, :n] = True
+            query_mask[gq] = True
+            nvalid[gq] = n
+            row += n
+
+    return PaddedDataset(
+        features=jnp.asarray(features),
+        labels=jnp.asarray(labels),
+        doc_mask=jnp.asarray(doc_mask),
+        pad_index=jnp.asarray(pad_index),
+        slot_mask=jnp.asarray(slot_mask),
+        query_mask=jnp.asarray(query_mask),
+        nvalid=jnp.asarray(nvalid),
+        num_shards=S,
+        docs_per_shard=n_loc,
+        queries_per_shard=q_loc,
+        max_docs=dmax,
+        num_features=F,
+        num_real_docs=ds.num_docs,
+        num_real_queries=ds.num_queries,
+    )
+
+
+def gather_padded(flat: jnp.ndarray, pad_index: jnp.ndarray, slot_mask: jnp.ndarray, fill=0.0):
+    """Flat per-doc array -> padded ``[Q, D]`` per-query view (shard-local)."""
+    out = flat[pad_index]
+    return jnp.where(slot_mask, out, jnp.asarray(fill, dtype=out.dtype))
+
+
+def scatter_flat(padded: jnp.ndarray, pad_index: jnp.ndarray, slot_mask: jnp.ndarray, num_docs: int):
+    """Padded ``[Q, D]`` per-query values -> flat per-doc array.
+
+    Every real doc appears in exactly one (query, slot); padding slots all
+    collide on the dummy row, which stays masked downstream.
+    """
+    vals = jnp.where(slot_mask, padded, 0.0).astype(padded.dtype)
+    flat = jnp.zeros((num_docs,), dtype=padded.dtype)
+    return flat.at[pad_index.reshape(-1)].add(vals.reshape(-1))

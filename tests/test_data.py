@@ -1,0 +1,109 @@
+"""Data layer tests — counterpart of catch-unit-tests/data/test-hdata.cc:
+shape checks, spot values, SVML round-trip, and padded-layout consistency."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from quickrank_tpu.data import (
+    Dataset,
+    gather_padded,
+    read_svml,
+    scatter_flat,
+    shard_and_pad,
+    write_svml,
+)
+from quickrank_tpu.data.dataset import assign_queries_to_shards
+from quickrank_tpu.data.synthetic import make_ranking_dataset
+
+
+def test_dataset_from_arrays():
+    feats = np.arange(12, dtype=np.float32).reshape(6, 2)
+    labels = np.array([0, 1, 2, 0, 1, 0], dtype=np.float32)
+    qids = np.array([7, 7, 7, 9, 9, 11])
+    ds = Dataset.from_arrays(feats, labels, qids)
+    assert ds.num_docs == 6
+    assert ds.num_queries == 3
+    assert list(ds.query_offsets) == [0, 3, 5, 6]
+    assert list(ds.qids) == [7, 9, 11]
+    assert ds.max_docs_per_query == 3
+
+
+def test_svml_roundtrip(tmp_path):
+    ds = make_ranking_dataset(num_queries=5, avg_docs_per_query=20, num_features=11)
+    path = os.path.join(tmp_path, "sample.txt")
+    write_svml(ds, path)
+    ds2 = read_svml(path)
+    assert ds2.num_docs == ds.num_docs
+    assert ds2.num_queries == ds.num_queries
+    assert ds2.num_features == ds.num_features
+    np.testing.assert_array_equal(ds2.labels, ds.labels)
+    np.testing.assert_array_equal(ds2.query_offsets, ds.query_offsets)
+    np.testing.assert_allclose(ds2.features, ds.features, rtol=1e-5, atol=1e-6)
+
+
+def test_svml_parses_comments_and_sparse(tmp_path):
+    path = os.path.join(tmp_path, "s.txt")
+    with open(path, "w") as f:
+        f.write("2 qid:1 1:0.5 3:1.25 # docid = G1\n")
+        f.write("0 qid:1 2:2 # x\n")
+        f.write("1 qid:4 1:1 2:1 3:1\n")
+    ds = read_svml(path)
+    assert ds.num_features == 3
+    assert ds.num_queries == 2
+    np.testing.assert_allclose(ds.features[0], [0.5, 0.0, 1.25])
+    np.testing.assert_allclose(ds.features[1], [0.0, 2.0, 0.0])
+    np.testing.assert_allclose(ds.labels, [2, 0, 1])
+
+
+def test_assign_queries_balanced():
+    counts = np.array([10, 10, 10, 10, 100, 10, 10, 10])
+    groups = assign_queries_to_shards(counts, 4)
+    assert [q for g in groups for q in g] == list(range(8))
+    assert all(len(g) >= 1 for g in groups)
+
+
+@pytest.mark.parametrize("num_shards", [1, 2, 4])
+def test_shard_and_pad_roundtrip(num_shards):
+    ds = make_ranking_dataset(num_queries=13, avg_docs_per_query=30, num_features=7)
+    padded = shard_and_pad(ds, num_shards=num_shards)
+
+    assert padded.num_real_docs == ds.num_docs
+    assert int(padded.doc_mask.sum()) == ds.num_docs
+    assert int(padded.query_mask.sum()) == ds.num_queries
+    # per-query labels visible through the gather map must equal the originals
+    lab = np.asarray(
+        gather_padded(
+            padded.labels, padded.pad_index_global, padded.slot_mask, fill=-1.0
+        )
+    )
+    seen = []
+    nv = np.asarray(padded.nvalid)
+    qm = np.asarray(padded.query_mask)
+    # shard-local pad_index: offset by shard block when flattening
+    for gq in range(padded.num_queries_padded):
+        if not qm[gq]:
+            assert nv[gq] == 0
+            continue
+        seen.append(lab[gq, : nv[gq]])
+    got = np.concatenate(seen)
+    # queries keep original global order within the shard partition
+    expect = []
+    groups = assign_queries_to_shards(ds.docs_per_query(), num_shards)
+    for g in groups:
+        for q in g:
+            expect.append(ds.labels[ds.query_slice(q)])
+    np.testing.assert_array_equal(got, np.concatenate(expect))
+
+
+def test_gather_scatter_inverse():
+    ds = make_ranking_dataset(num_queries=9, avg_docs_per_query=25, num_features=5)
+    padded = shard_and_pad(ds, num_shards=1)
+    flat = jnp.asarray(np.random.default_rng(0).normal(size=(padded.num_docs_padded,)).astype(np.float32))
+    flat = jnp.where(padded.doc_mask, flat, 0.0)
+    view = gather_padded(flat, padded.pad_index, padded.slot_mask)
+    back = scatter_flat(view, padded.pad_index, padded.slot_mask, padded.num_docs_padded)
+    back = jnp.where(padded.doc_mask, back, 0.0)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(flat), rtol=1e-6)
