@@ -131,6 +131,9 @@ class PaddedDataset:
     slot_mask: jnp.ndarray
     query_mask: jnp.ndarray
     nvalid: jnp.ndarray
+    #: i32 [S * docs_per_shard] original dataset row of each padded row
+    #: (-1 for padding rows) — the inverse of the packing permutation.
+    orig_index: jnp.ndarray = None
     num_shards: int = struct.field(pytree_node=False, default=1)
     docs_per_shard: int = struct.field(pytree_node=False, default=0)
     queries_per_shard: int = struct.field(pytree_node=False, default=0)
@@ -207,6 +210,7 @@ def shard_and_pad(
     features = np.zeros((S * n_loc, F), dtype=FEATURE_DTYPE)
     labels = np.zeros((S * n_loc,), dtype=LABEL_DTYPE)
     doc_mask = np.zeros((S * n_loc,), dtype=bool)
+    orig_index = np.full((S * n_loc,), -1, dtype=np.int32)
     pad_index = np.full((S * q_loc, dmax), n_loc - 1, dtype=np.int32)
     slot_mask = np.zeros((S * q_loc, dmax), dtype=bool)
     query_mask = np.zeros((S * q_loc,), dtype=bool)
@@ -220,6 +224,9 @@ def shard_and_pad(
             features[s * n_loc + row : s * n_loc + row + n] = ds.features[sl]
             labels[s * n_loc + row : s * n_loc + row + n] = ds.labels[sl]
             doc_mask[s * n_loc + row : s * n_loc + row + n] = True
+            orig_index[s * n_loc + row : s * n_loc + row + n] = np.arange(
+                sl.start, sl.stop, dtype=np.int32
+            )
             gq = s * q_loc + qi
             pad_index[gq, :n] = np.arange(row, row + n, dtype=np.int32)
             slot_mask[gq, :n] = True
@@ -235,6 +242,7 @@ def shard_and_pad(
         slot_mask=jnp.asarray(slot_mask),
         query_mask=jnp.asarray(query_mask),
         nvalid=jnp.asarray(nvalid),
+        orig_index=jnp.asarray(orig_index),
         num_shards=S,
         docs_per_shard=n_loc,
         queries_per_shard=q_loc,
@@ -243,6 +251,22 @@ def shard_and_pad(
         num_real_docs=ds.num_docs,
         num_real_queries=ds.num_queries,
     )
+
+
+def pack_doc_values(padded: PaddedDataset, values_dataset_order) -> jnp.ndarray:
+    """Dataset-order per-doc values -> flat padded order (0 on pad rows)."""
+    v = jnp.asarray(values_dataset_order)
+    idx = jnp.maximum(padded.orig_index, 0)
+    return jnp.where(padded.doc_mask, v[idx], 0).astype(v.dtype)
+
+
+def unpack_doc_values(padded: PaddedDataset, values_padded_order) -> jnp.ndarray:
+    """Flat padded-order per-doc values -> dataset order [num_real_docs]."""
+    v = jnp.asarray(values_padded_order)
+    out = jnp.zeros((padded.num_real_docs,), v.dtype)
+    # Pad rows are routed out of bounds and dropped.
+    idx = jnp.where(padded.doc_mask, padded.orig_index, padded.num_real_docs)
+    return out.at[idx].set(v, mode="drop")
 
 
 def gather_padded(flat: jnp.ndarray, pad_index: jnp.ndarray, slot_mask: jnp.ndarray, fill=0.0):

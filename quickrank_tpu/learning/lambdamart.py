@@ -1,0 +1,55 @@
+"""LambdaMART — listwise boosting with metric-derived lambda gradients.
+
+TPU-native re-design of ``LambdaMart`` (src/learning/forests/lambdamart.cc):
+extends :class:`Mart`, replacing the pointwise pseudoresponses by the batched
+pairwise lambda kernel (ops/lambdas.py) and switching leaf outputs to the
+Newton step sum(lambda)/sum(w) (lambdamart.cc:47-60 -> rt.cc:186-207).
+
+Subsampling follows the reference's query "cleaning" (lambdamart.cc:85-108):
+lambdas are computed only among the sampled docs of each query, not merely
+masked post-hoc — the pair set itself shrinks.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from quickrank_tpu.data.dataset import gather_padded, scatter_flat
+from quickrank_tpu.learning.mart import Mart, TrainData
+from quickrank_tpu.ops.lambdas import lambda_gradients
+
+
+class LambdaMart(Mart):
+    NAME = "LAMBDAMART"
+    _newton = True
+
+    def __init__(self, *args, query_chunk: Optional[int] = None, **kw):
+        """``query_chunk`` bounds the live [chunk, D, D] pair tensor in the
+        lambda kernel (memory control for long result lists)."""
+        super().__init__(*args, **kw)
+        self.query_chunk = query_chunk
+
+    def _gradients(self, tr: TrainData, scores, sample_mask, key):
+        padded = tr.padded
+        idx = padded.pad_index_global
+        s = gather_padded(scores, idx, padded.slot_mask)
+        l = gather_padded(padded.labels, idx, padded.slot_mask)
+        present = gather_padded(sample_mask, idx, padded.slot_mask, fill=False)
+        slot_mask = padded.slot_mask & present
+        nvalid = jnp.sum(slot_mask, axis=-1).astype(jnp.int32)
+        lam, w = lambda_gradients(
+            s, l, slot_mask, nvalid, self._train_metric, self.query_chunk
+        )
+        N = padded.num_docs_padded
+        return (
+            scatter_flat(lam, idx, slot_mask, N),
+            scatter_flat(w, idx, slot_mask, N),
+        )
+
+    def _make_step(self, tr, va, metric):
+        # The lambda kernel needs the training metric's delta matrix
+        # (lambdamart.cc:110 uses the *training* scorer's jacobian).
+        self._train_metric = metric
+        return super()._make_step(tr, va, metric)

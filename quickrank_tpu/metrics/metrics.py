@@ -54,13 +54,18 @@ class Metric:
     def finalize(self, num, den):
         return jnp.where(den > 0, num / jnp.maximum(den, 1.0), 0.0)
 
-    def evaluate_dataset(self, padded: PaddedDataset, scores_flat) -> float:
+    def evaluate_padded(self, padded: PaddedDataset, scores_flat):
+        """Jittable dataset-level metric (mean over queries, metric.h:77-106)
+        as a jnp scalar."""
         idx = padded.pad_index_global
         scores = gather_padded(scores_flat, idx, padded.slot_mask)
         labels = gather_padded(padded.labels, idx, padded.slot_mask)
         pq = self.evaluate_per_query(scores, labels, padded.slot_mask, padded.nvalid)
         num, den = self.aggregate(pq, padded.query_mask, padded.doc_mask.sum())
-        return float(self.finalize(num, den))
+        return self.finalize(num, den)
+
+    def evaluate_dataset(self, padded: PaddedDataset, scores_flat) -> float:
+        return float(self.evaluate_padded(padded, scores_flat))
 
     def __repr__(self):
         if self.cutoff != NO_CUTOFF:

@@ -1,0 +1,106 @@
+"""Feature binning: threshold construction + doc->bin quantization.
+
+TPU-native replacement of the reference's per-feature radix argsort +
+threshold tables + ``stmap`` (src/learning/forests/mart.cc:127-170 and the
+RTRootHistogram stmap build, src/learning/tree/rtnode_histogram.cc:227-253).
+Instead of keeping per-feature sorted doc-id lists, we quantize every feature
+value to a small bin id **once** per training run; all split statistics are
+then dense ``[nodes, F, B]`` tensors and the sorted order is never needed.
+
+Threshold semantics mirror the reference exactly:
+  * collect sorted unique values of the feature;
+  * if ``nthresholds == 0`` or #unique <= nthresholds: thresholds = unique
+    values (every distinct value is a candidate split);
+  * else: ``nthresholds`` equi-width points between fmin and fmax
+    (mart.cc:158-168);
+  * a final +inf sentinel threshold holds the "everything" cumulative bin
+    (mart.cc:156,169 uses FLT_MAX).
+
+A doc with value ``v`` lands in bin ``t`` iff ``thresholds[t-1] < v <=
+thresholds[t]`` — i.e. a split at threshold ``t`` sends bins ``<= t`` left,
+matching the reference's ``v <= threshold`` routing (rt.cc:330).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+FLT_MAX = np.float32(np.finfo(np.float32).max)
+
+
+@dataclasses.dataclass
+class BinnedFeatures:
+    """Host-side binning result.
+
+    thresholds: f32 ``[F, B]``; column ``f`` holds ``counts[f]`` real
+        thresholds (ascending, last real one is +FLT_MAX) then +FLT_MAX pads.
+    counts: i32 ``[F]`` number of real thresholds per feature.
+    binned: i32 ``[N, F]`` bin id of each doc (0 .. counts[f]-1).
+    """
+
+    thresholds: np.ndarray
+    counts: np.ndarray
+    binned: np.ndarray
+
+    @property
+    def num_bins(self) -> int:
+        return int(self.thresholds.shape[1])
+
+
+def build_thresholds(
+    features: np.ndarray, nthresholds: int = 0, max_bins: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-feature threshold tables (mart.cc:136-170 semantics).
+
+    Returns ``(thresholds [F, B], counts [F])`` with B = max real count,
+    optionally rounded up to ``max_bins`` alignment.
+    """
+    N, F = features.shape
+    per_feature = []
+    counts = np.zeros(F, dtype=np.int64)
+    for f in range(F):
+        uniq = np.unique(features[:, f].astype(np.float32))
+        if nthresholds == 0 or len(uniq) <= nthresholds:
+            th = np.concatenate([uniq, [FLT_MAX]]).astype(np.float32)
+        else:
+            fmin, fmax = np.float32(uniq[0]), np.float32(uniq[-1])
+            step = np.float32(abs(fmax - fmin)) / np.float32(nthresholds)
+            th = (fmin + step * np.arange(nthresholds, dtype=np.float32)).astype(
+                np.float32
+            )
+            th = np.concatenate([th, [FLT_MAX]]).astype(np.float32)
+        per_feature.append(th)
+        counts[f] = len(th)
+    B = int(counts.max())
+    if max_bins is not None:
+        B = max(B, max_bins)
+    out = np.full((F, B), FLT_MAX, dtype=np.float32)
+    for f in range(F):
+        out[f, : counts[f]] = per_feature[f]
+    return out, counts.astype(np.int32)
+
+
+def apply_bins(features: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
+    """Quantize values to bin ids: smallest t with value <= thresholds[t].
+
+    Equivalent to the stmap built by RTRootHistogram
+    (rtnode_histogram.cc:227-253): cumulative-bin id per doc per feature.
+    """
+    N, F = features.shape
+    out = np.empty((N, F), dtype=np.int32)
+    for f in range(F):
+        # side='left': first index where thresholds[idx] >= v
+        out[:, f] = np.searchsorted(
+            thresholds[f], features[:, f].astype(np.float32), side="left"
+        )
+    return out
+
+
+def bin_dataset(
+    features: np.ndarray, nthresholds: int = 0, max_bins: int | None = None
+) -> BinnedFeatures:
+    thresholds, counts = build_thresholds(features, nthresholds, max_bins)
+    binned = apply_bins(features, thresholds)
+    return BinnedFeatures(thresholds=thresholds, counts=counts, binned=binned)

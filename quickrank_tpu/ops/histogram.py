@@ -1,0 +1,87 @@
+"""Split-statistics histograms over binned features.
+
+TPU-native replacement of ``RTNodeHistogram`` (include/learning/tree/
+rtnode_histogram.h:26, src/learning/tree/rtnode_histogram.cc:41-217): instead
+of per-node cumulative ``sumlbl[f][t]`` / ``count[f][t]`` arrays rebuilt with
+OpenMP loops, histograms are dense ``[F, B, C]`` tensors built by one
+scatter-add over the doc axis and cumulative sums are taken at gain-scan time.
+
+Channels (C axis): 0 = doc count, 1 = sum of gradients (pseudoresponses),
+2 = sum of squared gradients (backs the node deviance used as the best-first
+split priority, rt.cc:59-76).
+
+In sharded training each chip builds the histogram of its local docs and the
+results are ``psum``-reduced over the mesh axis — the single cross-chip
+collective of the training loop (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+NCHANNELS = 3  # count, sum_grad, sum_grad_sq
+
+
+def doc_channels(grad: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Per-doc channel values ``[N, 3]`` = (1, g, g^2), zeroed where masked."""
+    m = mask.astype(grad.dtype)
+    return jnp.stack([m, grad * m, grad * grad * m], axis=-1)
+
+
+def masked_histogram(
+    binned: jnp.ndarray,
+    values: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_bins: int,
+) -> jnp.ndarray:
+    """Histogram of one doc subset: ``hist[f, b, c] = sum over docs in mask
+    with bin(doc, f) == b of values[doc, c]``.
+
+    binned: i32 ``[N, F]``; values: ``[N, C]``; mask: bool ``[N]``.
+    Returns ``[F, B, C]`` float32.
+
+    Implementation: flat scatter-add (one pass over N x F).  Masked docs are
+    routed to a dummy overflow bin that is sliced away.
+    """
+    N, F = binned.shape
+    C = values.shape[-1]
+    # Masked docs go to an extra trash bin per feature.
+    safe_bins = jnp.where(mask[:, None], binned, num_bins)
+    fidx = jnp.arange(F, dtype=jnp.int32)[None, :]
+    flat = fidx * (num_bins + 1) + safe_bins  # [N, F]
+    vals = jnp.broadcast_to(values[:, None, :], (N, F, C))
+    hist = jnp.zeros((F * (num_bins + 1), C), dtype=jnp.float32)
+    hist = hist.at[flat.reshape(-1)].add(
+        vals.reshape(-1, C), mode="drop", unique_indices=False
+    )
+    return hist.reshape(F, num_bins + 1, C)[:, :num_bins, :]
+
+
+def node_histograms(
+    binned: jnp.ndarray,
+    values: jnp.ndarray,
+    node_of_doc: jnp.ndarray,
+    doc_mask: jnp.ndarray,
+    num_nodes: int,
+    num_bins: int,
+) -> jnp.ndarray:
+    """Histograms for every node at once: ``[num_nodes, F, B, C]``.
+
+    One scatter-add keyed by (node, feature, bin) — the batched equivalent of
+    building an RTNodeHistogram per fringe node (rtnode_histogram.cc:41-70).
+    Docs with node id outside [0, num_nodes) or masked out contribute nothing.
+    """
+    N, F = binned.shape
+    C = values.shape[-1]
+    ok = doc_mask & (node_of_doc >= 0) & (node_of_doc < num_nodes)
+    node = jnp.where(ok, node_of_doc, num_nodes)
+    fidx = jnp.arange(F, dtype=jnp.int32)[None, :]
+    flat = (node[:, None] * F + fidx) * num_bins + jnp.minimum(
+        binned, num_bins - 1
+    )
+    vals = jnp.broadcast_to(values[:, None, :], (N, F, C))
+    hist = jnp.zeros(((num_nodes + 1) * F * num_bins, C), dtype=jnp.float32)
+    hist = hist.at[flat.reshape(-1)].add(
+        vals.reshape(-1, C), mode="drop", unique_indices=False
+    )
+    return hist.reshape(num_nodes + 1, F, num_bins, C)[:num_nodes]

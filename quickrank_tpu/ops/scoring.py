@@ -1,0 +1,112 @@
+"""Vectorized ensemble scoring — the QuickScore-style traversal-free path.
+
+Replaces the reference's per-doc recursive tree walk
+(``RTNode::score_instance``, include/learning/tree/rtnode.h:134-152, and
+``Ensemble::score_instance``, src/learning/tree/ensemble.cc:111-118) with a
+batched iterative descent: all docs advance one level per step via gathers,
+so there is no recursion, no branching per doc, and XLA fuses the whole
+ensemble sweep.  The oblivious-tree bit-OR leaf indexing trick
+(src/io/generate_oblivious.cc:306-312) lives in ops/oblivious.py.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from quickrank_tpu.trees.structs import EnsembleTensors, Tree
+
+
+def descend_tree(features: jnp.ndarray, tree: Tree, max_depth: int) -> jnp.ndarray:
+    """Leaf node id reached by every doc: i32 [N].
+
+    ``max_depth`` iterations of: gather split params at the current node,
+    route left/right on ``x[f] <= threshold`` (rt.cc:330 semantics).  Docs
+    already at a leaf stay put, so ``max_depth`` only needs to upper-bound
+    the tree depth (worst case nleaves-1 for best-first trees).
+    """
+    N = features.shape[0]
+    node0 = jnp.zeros((N,), jnp.int32)
+
+    def step(_, node):
+        f = tree.feature[node]
+        thr = tree.threshold[node]
+        leaf = tree.is_leaf[node]
+        x = jnp.take_along_axis(
+            features, jnp.maximum(f, 0)[:, None], axis=1
+        )[:, 0]
+        nxt = jnp.where(x <= thr, tree.left[node], tree.right[node])
+        return jnp.where(leaf, node, nxt).astype(jnp.int32)
+
+    return jax.lax.fori_loop(0, max_depth, step, node0)
+
+
+def score_tree(features: jnp.ndarray, tree: Tree, max_depth: int) -> jnp.ndarray:
+    """Unweighted output of one tree for every doc: f32 [N]."""
+    return tree.leaf_value[descend_tree(features, tree, max_depth)]
+
+
+def descend_tree_binned(
+    binned: jnp.ndarray, tree: Tree, max_depth: int
+) -> jnp.ndarray:
+    """Same descent in bin space (training-time path: bin <= threshold_bin
+    routing is exactly the value <= threshold routing by construction)."""
+    N = binned.shape[0]
+    node0 = jnp.zeros((N,), jnp.int32)
+
+    def step(_, node):
+        f = tree.feature[node]
+        tb = tree.threshold_bin[node]
+        leaf = tree.is_leaf[node]
+        x = jnp.take_along_axis(binned, jnp.maximum(f, 0)[:, None], axis=1)[:, 0]
+        nxt = jnp.where(x <= tb, tree.left[node], tree.right[node])
+        return jnp.where(leaf, node, nxt).astype(jnp.int32)
+
+    return jax.lax.fori_loop(0, max_depth, step, node0)
+
+
+@partial(jax.jit, static_argnames=("max_depth", "num_trees_hint"))
+def score_ensemble(
+    features: jnp.ndarray,
+    ens: EnsembleTensors,
+    max_depth: Optional[int] = None,
+    num_trees_hint: Optional[int] = None,
+) -> jnp.ndarray:
+    """Weighted ensemble scores: f32 [N] = sum_t weight_t * tree_t(doc).
+
+    A scan over tree slots (memory-light; the per-tree descent is itself
+    fully vectorized over docs).  Dead slots (t >= num_trees) have weight 0.
+    """
+    md = max_depth or ens.max_nodes
+
+    def body(acc, t):
+        tree = ens.tree(t)
+        s = score_tree(features, tree, md)
+        w = jnp.where(t < ens.num_trees, ens.weight[t], 0.0)
+        return acc + w * s, None
+
+    T = num_trees_hint or ens.capacity
+    init = jnp.zeros((features.shape[0],), jnp.float32)
+    out, _ = jax.lax.scan(body, init, jnp.arange(T))
+    return out
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
+def partial_scores(
+    features: jnp.ndarray, ens: EnsembleTensors, max_depth: Optional[int] = None
+) -> jnp.ndarray:
+    """Per-tree *unweighted* scores [N, T] — the partial-score dataset used
+    by Cleaver/LineSearch post-optimization (Ensemble::partial_scores_instance
+    ensemble.cc:120-131, Driver::extract_partial_scores driver.cc:411-446).
+    """
+    md = max_depth or ens.max_nodes
+
+    def body(_, t):
+        s = score_tree(features, ens.tree(t), md)
+        return None, jnp.where(t < ens.num_trees, s, 0.0)
+
+    _, cols = jax.lax.scan(body, None, jnp.arange(ens.capacity))
+    return jnp.swapaxes(cols, 0, 1)

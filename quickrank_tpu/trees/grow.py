@@ -1,0 +1,271 @@
+"""Best-first regression-tree growth as one jittable fixed-shape loop.
+
+TPU-native re-design of ``RegressionTree::fit`` / ``split``
+(src/learning/tree/rt.cc:49-140, :208-355): the deviance max-heap becomes a
+masked argmax over a dense per-node deviance vector; per-node sample-id lists
+become a ``node_of_doc`` assignment vector updated in place; child histograms
+are one masked scatter-add for the left child plus a parent-minus-left
+subtraction for the right (the sibling trick of rtnode_histogram.cc:72-87).
+
+Reference semantics preserved:
+  * split priority = node deviance (sum g^2 - (sum g)^2 / count), rt.cc:59-76;
+  * gain = lsum^2/lcount + rsum^2/rcount, any split with both children
+    >= min_leaf_support is acceptable (initvar = -1, rt.cc:261-291);
+  * loop until ``taken + |heap| >= nleaves`` where ``taken`` counts
+    unsplittable nodes (rt.cc:64-90);
+  * per-split feature subsampling for max_features != 1 (rt.cc:222-244);
+  * doc routing ``x[f] <= threshold`` (rt.cc:330).
+
+Sharded training: pass ``axis_name`` — each chip holds a shard of the docs,
+the left-child histogram is ``psum``-reduced, and every split decision (being
+derived from the reduced histogram) is replicated across chips.  This is the
+ICI all-reduce of SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from quickrank_tpu.ops.histogram import doc_channels, masked_histogram
+from quickrank_tpu.trees.structs import Tree
+
+NEG_INF = jnp.float32(-jnp.inf)
+
+
+@dataclasses.dataclass(frozen=True)
+class GrowConfig:
+    nleaves: int = 10
+    min_leaf_support: int = 1
+    num_bins: int = 256
+    max_features: float = 1.0  # 1.0 = all; <1 fraction; >1 count (rt.cc:222-233)
+    newton: bool = False  # leaf = sum(g)/sum(w) instead of mean(g)
+
+    @property
+    def max_nodes(self) -> int:
+        return 2 * self.nleaves - 1
+
+    def num_feature_samples(self, F: int) -> int:
+        if self.max_features == 1.0:
+            return F
+        if self.max_features > 1.0:
+            return min(int(self.max_features), F)
+        return min(int(-(-self.max_features * F // 1)), F)
+
+
+@struct.dataclass
+class _GrowState:
+    tree: Tree
+    node_of_doc: jnp.ndarray  # i32 [N]
+    hist: jnp.ndarray  # f32 [max_nodes, F, B, 3]
+    deviance: jnp.ndarray  # f32 [max_nodes]
+    active: jnp.ndarray  # bool [max_nodes] current leaves
+    frozen: jnp.ndarray  # bool [max_nodes] unsplittable leaves ("taken")
+    n_nodes: jnp.ndarray  # i32
+    taken: jnp.ndarray  # i32
+    key: jnp.ndarray
+
+
+def _node_stats(hist_node: jnp.ndarray):
+    """(count, sum_g, sum_g2) of a node from its [F, B, 3] histogram (all
+    features see every doc once; read feature 0)."""
+    c = jnp.sum(hist_node[0, :, 0])
+    s = jnp.sum(hist_node[0, :, 1])
+    s2 = jnp.sum(hist_node[0, :, 2])
+    return c, s, s2
+
+
+def _deviance(c, s, s2):
+    """Node deviance = sum g^2 - (sum g)^2/count (rtnode_histogram.cc's
+    squares_sum_ bookkeeping feeding rt.cc:59)."""
+    return jnp.where(c > 0, s2 - s * s / jnp.maximum(c, 1.0), 0.0)
+
+
+def _feature_sample_mask(key, F: int, k: int):
+    """Random k-of-F feature mask (per split, rt.cc:235-244)."""
+    if k >= F:
+        return jnp.ones((F,), bool)
+    r = jax.random.uniform(key, (F,))
+    kth = jnp.sort(r)[k - 1]
+    return r <= kth
+
+
+def _best_split(hist_node, feat_mask, minls: int):
+    """Scan the cumulative histogram for the max-gain (feature, bin).
+
+    Returns (can_split, f_star, t_star, gain).  Vectorized form of
+    rt.cc:257-313's per-feature threshold loop.
+    """
+    cum = jnp.cumsum(hist_node, axis=1)  # [F, B, 3]
+    lc = cum[:, :, 0]
+    ls = cum[:, :, 1]
+    tc = cum[:, -1:, 0]
+    ts = cum[:, -1:, 1]
+    rc = tc - lc
+    rs = ts - ls
+    valid = (lc >= minls) & (rc >= minls) & feat_mask[:, None]
+    gain = ls * ls / jnp.maximum(lc, 1.0) + rs * rs / jnp.maximum(rc, 1.0)
+    gain = jnp.where(valid, gain, NEG_INF)
+    flat = jnp.argmax(gain)
+    B = gain.shape[1]
+    f_star = (flat // B).astype(jnp.int32)
+    t_star = (flat % B).astype(jnp.int32)
+    return jnp.any(valid), f_star, t_star, gain.reshape(-1)[flat]
+
+
+def fit_tree(
+    binned: jnp.ndarray,
+    grad: jnp.ndarray,
+    doc_mask: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    cfg: GrowConfig,
+    key: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+) -> tuple[Tree, jnp.ndarray]:
+    """Grow one tree on (possibly sharded) binned docs.
+
+    binned: i32 [N, F] bin ids; grad: f32 [N] pseudoresponses;
+    doc_mask: bool [N] (False = padding or subsampled-out doc);
+    thresholds: f32 [F, B] split values per bin.
+
+    Returns (tree *without* leaf values — see :func:`leaf_outputs`,
+    node_of_doc i32 [N] leaf assignment).
+    """
+    N, F = binned.shape
+    B = cfg.num_bins
+    max_nodes = cfg.max_nodes
+    minls = cfg.min_leaf_support
+    if key is None:
+        key = jax.random.PRNGKey(0)
+
+    chan = doc_channels(grad, doc_mask)
+
+    def hist_of(mask):
+        h = masked_histogram(binned, chan, mask, B)
+        if axis_name is not None:
+            h = jax.lax.psum(h, axis_name)
+        return h
+
+    root_hist = hist_of(doc_mask)
+    c0, s0, s20 = _node_stats(root_hist)
+
+    hist = jnp.zeros((max_nodes, F, B, 3), jnp.float32).at[0].set(root_hist)
+    deviance = jnp.zeros((max_nodes,), jnp.float32).at[0].set(_deviance(c0, s0, s20))
+    active = jnp.zeros((max_nodes,), bool).at[0].set(True)
+
+    state = _GrowState(
+        tree=Tree.empty(max_nodes),
+        node_of_doc=jnp.where(doc_mask, 0, -1).astype(jnp.int32),
+        hist=hist,
+        deviance=deviance,
+        active=active,
+        frozen=jnp.zeros((max_nodes,), bool),
+        n_nodes=jnp.asarray(1, jnp.int32),
+        taken=jnp.asarray(0, jnp.int32),
+        key=key,
+    )
+
+    nfs = cfg.num_feature_samples(F)
+
+    def cond(s: _GrowState):
+        heap = s.active & ~s.frozen
+        hs = jnp.sum(heap.astype(jnp.int32))
+        return (hs > 0) & (s.taken + hs < cfg.nleaves)
+
+    def body(s: _GrowState) -> _GrowState:
+        heap = s.active & ~s.frozen
+        leaf = jnp.argmax(jnp.where(heap, s.deviance, NEG_INF)).astype(jnp.int32)
+        key, sub = jax.random.split(s.key)
+        feat_mask = _feature_sample_mask(sub, F, nfs)
+        h_leaf = s.hist[leaf]
+        has_split, f_star, t_star, _ = _best_split(h_leaf, feat_mask, minls)
+        can_split = has_split & (s.deviance[leaf] > 0)
+
+        def do_split(s: _GrowState) -> _GrowState:
+            a = s.n_nodes
+            b = s.n_nodes + 1
+            fcol = jax.lax.dynamic_index_in_dim(
+                binned, f_star, axis=1, keepdims=False
+            )
+            in_leaf = s.node_of_doc == leaf
+            goes_left = fcol <= t_star
+            node_of_doc = jnp.where(
+                in_leaf, jnp.where(goes_left, a, b), s.node_of_doc
+            ).astype(jnp.int32)
+            left_hist = hist_of(in_leaf & goes_left & doc_mask)
+            right_hist = h_leaf - left_hist
+            ca, sa, s2a = _node_stats(left_hist)
+            cb, sb, s2b = _node_stats(right_hist)
+            tree = s.tree.replace(
+                feature=s.tree.feature.at[leaf].set(f_star),
+                threshold=s.tree.threshold.at[leaf].set(
+                    thresholds[f_star, t_star]
+                ),
+                threshold_bin=s.tree.threshold_bin.at[leaf].set(t_star),
+                left=s.tree.left.at[leaf].set(a),
+                right=s.tree.right.at[leaf].set(b),
+                is_leaf=s.tree.is_leaf.at[leaf].set(False),
+                n_nodes=s.n_nodes + 2,
+            )
+            return s.replace(
+                tree=tree,
+                node_of_doc=node_of_doc,
+                hist=s.hist.at[a].set(left_hist).at[b].set(right_hist),
+                deviance=s.deviance.at[a]
+                .set(_deviance(ca, sa, s2a))
+                .at[b]
+                .set(_deviance(cb, sb, s2b)),
+                active=s.active.at[leaf].set(False).at[a].set(True).at[b].set(True),
+                n_nodes=s.n_nodes + 2,
+                key=key,
+            )
+
+        def freeze(s: _GrowState) -> _GrowState:
+            return s.replace(
+                frozen=s.frozen.at[leaf].set(True),
+                taken=s.taken + 1,
+                key=key,
+            )
+
+        return jax.lax.cond(can_split, do_split, freeze, s)
+
+    final = jax.lax.while_loop(cond, body, state)
+    return final.tree, final.node_of_doc
+
+
+def leaf_outputs(
+    tree: Tree,
+    node_of_doc: jnp.ndarray,
+    grad: jnp.ndarray,
+    doc_mask: jnp.ndarray,
+    weights: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+) -> Tree:
+    """Fill leaf values: mean pseudoresponse (rt.cc:165-184) or the Newton
+    step sum(lambda)/sum(w) when ``weights`` given (rt.cc:186-207)."""
+    max_nodes = tree.max_nodes
+    ok = doc_mask & (node_of_doc >= 0)
+    idx = jnp.where(ok, node_of_doc, max_nodes)
+    g = jnp.where(ok, grad, 0.0)
+    sums = jnp.zeros((max_nodes + 1,), jnp.float32).at[idx].add(g)
+    if weights is None:
+        den = (
+            jnp.zeros((max_nodes + 1,), jnp.float32)
+            .at[idx]
+            .add(ok.astype(jnp.float32))
+        )
+    else:
+        w = jnp.where(ok, weights, 0.0)
+        den = jnp.zeros((max_nodes + 1,), jnp.float32).at[idx].add(w)
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    eps = jnp.float32(2.220446049250313e-16)  # DBL_EPSILON guard of rt.cc:200
+    value = jnp.where(den >= eps, sums / jnp.maximum(den, eps), 0.0)
+    return tree.replace(
+        leaf_value=jnp.where(tree.is_leaf, value[:max_nodes], 0.0)
+    )

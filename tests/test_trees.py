@@ -1,0 +1,178 @@
+"""Tree-machinery tests: split-oracle parity, routing consistency, ensemble
+bookkeeping.  Mirrors the reference's strategy of closed-form/brute-force
+oracles (SURVEY.md §4)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from quickrank_tpu.ops.binning import bin_dataset
+from quickrank_tpu.ops.histogram import doc_channels, masked_histogram
+from quickrank_tpu.ops.scoring import (
+    descend_tree,
+    descend_tree_binned,
+    partial_scores,
+    score_ensemble,
+    score_tree,
+)
+from quickrank_tpu.trees.grow import GrowConfig, fit_tree, leaf_outputs
+from quickrank_tpu.trees.structs import EnsembleTensors
+
+
+@pytest.fixture(scope="module")
+def small_problem():
+    rng = np.random.default_rng(42)
+    N, F = 400, 7
+    X = rng.normal(size=(N, F)).astype(np.float32)
+    y = (
+        2.0 * (X[:, 0] > 0.2)
+        + 1.0 * (X[:, 1] > -0.5) * X[:, 2]
+        + 0.1 * rng.normal(size=N)
+    ).astype(np.float32)
+    return X, y
+
+
+def _fit(X, y, nleaves=8, minls=1, nthresholds=32):
+    b = bin_dataset(X, nthresholds=nthresholds)
+    cfg = GrowConfig(nleaves=nleaves, min_leaf_support=minls, num_bins=b.num_bins)
+    binned = jnp.asarray(b.binned)
+    grad = jnp.asarray(y)
+    mask = jnp.ones((X.shape[0],), bool)
+    tree, node = fit_tree(binned, grad, mask, jnp.asarray(b.thresholds), cfg)
+    tree = leaf_outputs(tree, node, grad, mask)
+    return b, cfg, tree, np.asarray(node)
+
+
+def test_histogram_matches_numpy(small_problem):
+    X, y = small_problem
+    b = bin_dataset(X, nthresholds=16)
+    mask = np.zeros(X.shape[0], bool)
+    mask[::3] = True
+    chan = doc_channels(jnp.asarray(y), jnp.asarray(mask))
+    h = np.asarray(
+        masked_histogram(jnp.asarray(b.binned), chan, jnp.asarray(mask), b.num_bins)
+    )
+    for f in range(X.shape[1]):
+        for t in range(b.num_bins):
+            sel = mask & (b.binned[:, f] == t)
+            assert h[f, t, 0] == pytest.approx(sel.sum())
+            assert h[f, t, 1] == pytest.approx(y[sel].sum(), abs=1e-4)
+
+
+def test_root_split_is_global_argmax(small_problem):
+    """First split must maximize lsum^2/lcount + rsum^2/rcount over every
+    (feature, bin) with both children >= minls (rt.cc:261-291)."""
+    X, y = small_problem
+    minls = 5
+    b, cfg, tree, _ = _fit(X, y, nleaves=2, minls=minls)
+    best = -np.inf
+    for f in range(X.shape[1]):
+        for t in range(b.num_bins):
+            left = b.binned[:, f] <= t
+            lc, rc = left.sum(), (~left).sum()
+            if lc >= minls and rc >= minls:
+                ls, rs = y[left].sum(), y[~left].sum()
+                best = max(best, ls * ls / lc + rs * rs / rc)
+    f0 = int(tree.feature[0])
+    t0 = int(tree.threshold_bin[0])
+    left = b.binned[:, f0] <= t0
+    ls, rs = y[left].sum(), y[~left].sum()
+    got = ls * ls / left.sum() + rs * rs / (~left).sum()
+    assert got == pytest.approx(best, rel=1e-5)
+
+
+def test_leaf_values_are_leaf_means(small_problem):
+    X, y = small_problem
+    b, cfg, tree, node = _fit(X, y, nleaves=8)
+    lv = np.asarray(tree.leaf_value)
+    for n in np.unique(node):
+        sel = node == n
+        assert lv[n] == pytest.approx(y[sel].mean(), rel=1e-4)
+
+
+def test_node_assignment_matches_descent(small_problem):
+    """node_of_doc built during growth == routing a fresh descent, in both
+    bin space and value space."""
+    X, y = small_problem
+    b, cfg, tree, node = _fit(X, y, nleaves=8)
+    via_bins = np.asarray(descend_tree_binned(jnp.asarray(b.binned), tree, cfg.nleaves))
+    via_vals = np.asarray(descend_tree(jnp.asarray(X), tree, cfg.nleaves))
+    np.testing.assert_array_equal(node, via_bins)
+    np.testing.assert_array_equal(node, via_vals)
+
+
+def test_min_leaf_support(small_problem):
+    X, y = small_problem
+    b, cfg, tree, node = _fit(X, y, nleaves=8, minls=30)
+    counts = np.bincount(node, minlength=cfg.max_nodes)
+    leaves = np.asarray(tree.is_leaf) & (counts > 0)
+    assert (counts[leaves] >= 30).all()
+
+
+def test_nleaves_budget(small_problem):
+    X, y = small_problem
+    for nl in (2, 4, 13):
+        b, cfg, tree, node = _fit(X, y, nleaves=nl)
+        n_leaves = int(np.asarray(tree.is_leaf)[: int(tree.n_nodes)].sum())
+        assert n_leaves <= nl
+        assert len(np.unique(node)) == n_leaves
+
+
+def test_doc_mask_excludes_docs(small_problem):
+    X, y = small_problem
+    b = bin_dataset(X, nthresholds=32)
+    cfg = GrowConfig(nleaves=4, min_leaf_support=1, num_bins=b.num_bins)
+    mask = np.ones(X.shape[0], bool)
+    mask[::2] = False
+    tree, node = fit_tree(
+        jnp.asarray(b.binned),
+        jnp.asarray(y),
+        jnp.asarray(mask),
+        jnp.asarray(b.thresholds),
+        cfg,
+    )
+    node = np.asarray(node)
+    assert (node[~mask] == -1).all()
+    assert (node[mask] >= 0).all()
+
+
+def test_tree_reduces_sse(small_problem):
+    X, y = small_problem
+    b, cfg, tree, node = _fit(X, y, nleaves=16)
+    pred = np.asarray(score_tree(jnp.asarray(X), tree, cfg.nleaves))
+    assert ((y - pred) ** 2).sum() < 0.5 * ((y - y.mean()) ** 2).sum()
+
+
+def test_ensemble_push_pop_and_partial_scores(small_problem):
+    X, y = small_problem
+    b, cfg, tree, node = _fit(X, y, nleaves=8)
+    ens = EnsembleTensors.empty(4, cfg.max_nodes)
+    ens = ens.push(tree, 0.5).push(tree, 0.25)
+    s = np.asarray(score_ensemble(jnp.asarray(X), ens, max_depth=cfg.nleaves))
+    one = np.asarray(score_tree(jnp.asarray(X), tree, cfg.nleaves))
+    np.testing.assert_allclose(s, 0.75 * one, rtol=1e-5)
+    ps = np.asarray(partial_scores(jnp.asarray(X), ens, max_depth=cfg.nleaves))
+    assert ps.shape == (X.shape[0], 4)
+    np.testing.assert_allclose(ps[:, 0], one, rtol=1e-6)
+    np.testing.assert_allclose(ps[:, 2:], 0.0)
+    popped = ens.pop()
+    s1 = np.asarray(score_ensemble(jnp.asarray(X), popped, max_depth=cfg.nleaves))
+    np.testing.assert_allclose(s1, 0.5 * one, rtol=1e-5)
+
+
+def test_feature_sampling_runs(small_problem):
+    X, y = small_problem
+    b = bin_dataset(X, nthresholds=16)
+    cfg = GrowConfig(
+        nleaves=4, min_leaf_support=1, num_bins=b.num_bins, max_features=0.5
+    )
+    tree, node = fit_tree(
+        jnp.asarray(b.binned),
+        jnp.asarray(y),
+        jnp.ones((X.shape[0],), bool),
+        jnp.asarray(b.thresholds),
+        cfg,
+        key=jax.random.PRNGKey(3),
+    )
+    assert int(tree.n_nodes) > 1
