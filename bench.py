@@ -1,0 +1,92 @@
+"""Headline benchmark: batched ensemble scoring throughput (docs/sec/chip).
+
+Counterpart of the reference's quickscore harness (src/quickscore.cc:96-121),
+which times compiled-C per-doc scoring of a trained tree model over the MSN1
+sample and documents 2.78e-9 s/doc (documentation/quickscore.md:35-37) —
+i.e. ~3.6e8 docs/sec — as its headline number.  ``vs_baseline`` is our
+docs/sec divided by that rate.
+
+Run on whatever jax.devices() offers (one real TPU chip under the driver).
+Prints ONE JSON line.  Secondary diagnostics go to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BASELINE_DOCS_PER_SEC = 1.0 / 2.78e-9  # documentation/quickscore.md:37
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax.numpy as jnp2  # noqa: F401
+
+    from quickrank_tpu.ops.oblivious import score_oblivious
+    from quickrank_tpu.trees.oblivious import ObliviousEnsemble
+
+    dev = jax.devices()[0]
+    log(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    # MSN1-like feature count; 1000-tree / 16-leaf (depth-4 oblivious)
+    # LambdaMART-sized model (quicklearn defaults, src/quicklearn.cc:97-140).
+    # The oblivious layout is the reference's own headline scoring strategy
+    # (generate_oblivious.cc / IPM'16).
+    N, F, T, DEPTH = 1 << 17, 136, 1000, 4
+    L = 2**DEPTH
+    rng = np.random.default_rng(0)
+    feats = jax.device_put(rng.normal(size=(N, F)).astype(np.float32))
+    ens = jax.device_put(
+        ObliviousEnsemble(
+            fid=jnp.asarray(rng.integers(0, F, size=(T, DEPTH)).astype(np.int32)),
+            thr=jnp.asarray(rng.normal(size=(T, DEPTH)).astype(np.float32)),
+            thr_bin=jnp.zeros((T, DEPTH), jnp.int32),
+            leaf=jnp.asarray(rng.normal(size=(T, L)).astype(np.float32)),
+            weight=jnp.full((T,), 0.1, jnp.float32),
+            num_trees=jnp.asarray(T, jnp.int32),
+        )
+    )
+
+    # Chain rounds through an accumulator so no round can be elided or
+    # overlapped — every execution is on the critical path.
+    @jax.jit
+    def run(acc):
+        return acc + score_oblivious(feats, ens, tree_chunk=125)
+
+    acc = jnp.zeros((N,), jnp.float32)
+    acc = run(acc)
+    acc.block_until_ready()  # compile + warm
+    t0 = time.perf_counter()
+    rounds = 10
+    for _ in range(rounds):
+        acc = run(acc)
+    acc.block_until_ready()
+    dt = (time.perf_counter() - t0) / rounds
+    docs_per_sec = N / dt
+    log(
+        f"# scored {N} docs x {T} trees in {dt * 1e3:.2f} ms/round "
+        f"-> {docs_per_sec:,.0f} docs/s"
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "ensemble_scoring_throughput_1000tree",
+                "value": docs_per_sec,
+                "unit": "docs/sec/chip",
+                "vs_baseline": docs_per_sec / BASELINE_DOCS_PER_SEC,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,5 +1,12 @@
 from quickrank_tpu.learning.base import LTRAlgorithm
 from quickrank_tpu.learning.mart import Mart
 from quickrank_tpu.learning.lambdamart import LambdaMart
+from quickrank_tpu.learning.obliviousmart import ObliviousLambdaMart, ObliviousMart
 
-__all__ = ["LTRAlgorithm", "Mart", "LambdaMart"]
+__all__ = [
+    "LTRAlgorithm",
+    "Mart",
+    "LambdaMart",
+    "ObliviousMart",
+    "ObliviousLambdaMart",
+]

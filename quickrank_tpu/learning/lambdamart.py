@@ -17,7 +17,7 @@ from typing import Optional
 import jax.numpy as jnp
 
 from quickrank_tpu.data.dataset import gather_padded, scatter_flat
-from quickrank_tpu.learning.mart import Mart, TrainData
+from quickrank_tpu.learning.mart import Mart, StepData
 from quickrank_tpu.ops.lambdas import lambda_gradients
 
 
@@ -31,25 +31,27 @@ class LambdaMart(Mart):
         super().__init__(*args, **kw)
         self.query_chunk = query_chunk
 
-    def _gradients(self, tr: TrainData, scores, sample_mask, key):
-        padded = tr.padded
-        idx = padded.pad_index_global
-        s = gather_padded(scores, idx, padded.slot_mask)
-        l = gather_padded(padded.labels, idx, padded.slot_mask)
-        present = gather_padded(sample_mask, idx, padded.slot_mask, fill=False)
-        slot_mask = padded.slot_mask & present
+    def _gradients(self, sd: StepData, scores, sample_mask, key):
+        # pad_index is shard-local, so the whole lambda computation is
+        # chip-local — per-query work never crosses shards (the SPMD analog
+        # of the per-query OpenMP loop, lambdamart.cc:70).
+        idx = sd.pad_index
+        s = gather_padded(scores, idx, sd.slot_mask)
+        l = gather_padded(sd.labels, idx, sd.slot_mask)
+        present = gather_padded(sample_mask, idx, sd.slot_mask, fill=False)
+        slot_mask = sd.slot_mask & present
         nvalid = jnp.sum(slot_mask, axis=-1).astype(jnp.int32)
         lam, w = lambda_gradients(
             s, l, slot_mask, nvalid, self._train_metric, self.query_chunk
         )
-        N = padded.num_docs_padded
+        N = scores.shape[0]
         return (
             scatter_flat(lam, idx, slot_mask, N),
             scatter_flat(w, idx, slot_mask, N),
         )
 
-    def _make_step(self, tr, va, metric):
+    def _make_step(self, tr, va, metric, mesh):
         # The lambda kernel needs the training metric's delta matrix
         # (lambdamart.cc:110 uses the *training* scorer's jacobian).
         self._train_metric = metric
-        return super()._make_step(tr, va, metric)
+        return super()._make_step(tr, va, metric, mesh)

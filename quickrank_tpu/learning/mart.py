@@ -12,19 +12,33 @@ Semantics preserved from the reference:
   * shrinkage ("learning rate") as the pushed tree weight (mart.cc:342);
   * early stop after ``esr`` non-improving validation iterations with
     rollback to the best model by popping trees (mart.cc:347-395).
+
+Multi-chip: pass ``mesh`` to :meth:`learn` — the same step body runs under
+``shard_map`` with queries sharded over the mesh and histograms/metrics
+``psum``-reduced (see parallel/mesh.py).  Every chip grows an identical tree,
+so the ensemble stays replicated.
 """
 
 from __future__ import annotations
 
 import dataclasses
 import time
+from functools import partial
 from typing import Optional
 
 import numpy as np
 import jax
 import jax.numpy as jnp
+from flax import struct
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
 
-from quickrank_tpu.data.dataset import Dataset, PaddedDataset, shard_and_pad
+from quickrank_tpu.data.dataset import (
+    Dataset,
+    PaddedDataset,
+    gather_padded,
+    shard_and_pad,
+)
 from quickrank_tpu.learning.base import LTRAlgorithm
 from quickrank_tpu.metrics.metrics import Metric
 from quickrank_tpu.ops.binning import apply_bins, build_thresholds
@@ -33,47 +47,79 @@ from quickrank_tpu.ops.scoring import (
     partial_scores,
     score_ensemble,
 )
+from quickrank_tpu.parallel.mesh import DATA_AXIS, shard_step_data, step_data_specs
 from quickrank_tpu.trees.grow import GrowConfig, fit_tree, leaf_outputs
 from quickrank_tpu.trees.structs import EnsembleTensors
 
 
+@struct.dataclass
+class StepData:
+    """The device tensors one boosting step reads (train or valid split).
+
+    Under ``shard_map`` each chip sees its local block of every array;
+    ``pad_index`` is shard-local by construction (data/dataset.py), so all
+    gathers stay on-chip.
+    """
+
+    binned: jnp.ndarray  # i32 [N, F]
+    labels: jnp.ndarray  # f32 [N]
+    doc_mask: jnp.ndarray  # bool [N]
+    pad_index: jnp.ndarray  # i32 [Q, D] (shard-local row ids)
+    slot_mask: jnp.ndarray  # bool [Q, D]
+    query_mask: jnp.ndarray  # bool [Q]
+    nvalid: jnp.ndarray  # i32 [Q]
+    thresholds: jnp.ndarray  # f32 [F, B] (replicated)
+
+
+def eval_metric(metric: Metric, sd: StepData, scores, axis_name=None):
+    """Dataset-level metric on (possibly sharded) step data: per-query eval,
+    then a (num, den) psum across chips (metric.h:77-106's mean)."""
+    s = gather_padded(scores, sd.pad_index, sd.slot_mask)
+    l = gather_padded(sd.labels, sd.pad_index, sd.slot_mask)
+    pq = metric.evaluate_per_query(s, l, sd.slot_mask, sd.nvalid)
+    num, den = metric.aggregate(pq, sd.query_mask, jnp.sum(sd.doc_mask))
+    if axis_name is not None:
+        num = jax.lax.psum(num, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    return jnp.asarray(metric.finalize(num, den), jnp.float32)
+
+
 @dataclasses.dataclass
 class TrainData:
-    """Device-side training tensors shared by the boosting loop."""
+    """Host-side handle: padded layout + binned device tensors."""
 
     padded: PaddedDataset
-    binned: jnp.ndarray  # i32 [N, F]
-    thresholds: jnp.ndarray  # f32 [F, B]
+    step: StepData
     num_real_docs: int
 
     @staticmethod
-    def build(ds: Dataset, nthresholds: int, num_shards: int = 1) -> "TrainData":
+    def build(
+        ds: Dataset,
+        nthresholds: int,
+        num_shards: int = 1,
+        thresholds: Optional[np.ndarray] = None,
+    ) -> "TrainData":
         padded = shard_and_pad(ds, num_shards=num_shards)
-        thresholds, _ = build_thresholds(ds.features, nthresholds)
+        if thresholds is None:
+            thresholds, _ = build_thresholds(ds.features, nthresholds)
+        else:
+            thresholds = np.asarray(thresholds)
         binned = apply_bins(np.asarray(padded.features), thresholds)
-        return TrainData(
-            padded=padded,
+        sd = StepData(
             binned=jnp.asarray(binned),
+            labels=padded.labels,
+            doc_mask=padded.doc_mask,
+            pad_index=padded.pad_index,
+            slot_mask=padded.slot_mask,
+            query_mask=padded.query_mask,
+            nvalid=padded.nvalid,
             thresholds=jnp.asarray(thresholds),
-            num_real_docs=ds.num_docs,
         )
-
-    @staticmethod
-    def for_eval(ds: Dataset, thresholds: jnp.ndarray, num_shards: int = 1):
-        """Bin an eval split with the *training* thresholds (bin-space routing
-        is then exactly threshold-value routing)."""
-        padded = shard_and_pad(ds, num_shards=num_shards)
-        binned = apply_bins(np.asarray(padded.features), np.asarray(thresholds))
-        return TrainData(
-            padded=padded,
-            binned=jnp.asarray(binned),
-            thresholds=thresholds,
-            num_real_docs=ds.num_docs,
-        )
+        return TrainData(padded=padded, step=sd, num_real_docs=ds.num_docs)
 
     @property
     def num_bins(self) -> int:
-        return int(self.thresholds.shape[1])
+        return int(self.step.thresholds.shape[1])
 
 
 class Mart(LTRAlgorithm):
@@ -96,7 +142,7 @@ class Mart(LTRAlgorithm):
         """Defaults mirror quicklearn's training group (src/quicklearn.cc:97-140)
         except ``nthresholds``: the reference's 0 = "all unique values" is
         hostile to a dense [nodes, F, B] histogram tensor, so we default to
-        255 bins (the standard GBDT quantization; LightGBM's default too)."""
+        255 bins (standard GBDT quantization)."""
         self.ntrees = int(ntrees)
         self.shrinkage = float(shrinkage)
         self.nthresholds = int(nthresholds)
@@ -112,16 +158,16 @@ class Mart(LTRAlgorithm):
 
     # -- hooks for subclasses ------------------------------------------------
 
-    def _gradients(self, tr: TrainData, scores, sample_mask, key):
+    def _gradients(self, sd: StepData, scores, sample_mask, key):
         """(pseudoresponses, newton_weights|None) — MART: label - score
         (mart.cc:418-431)."""
-        return (tr.padded.labels - scores).astype(jnp.float32), None
+        return (sd.labels - scores).astype(jnp.float32), None
 
-    def _grow_config(self, tr: TrainData) -> GrowConfig:
+    def _grow_config(self, num_bins: int) -> GrowConfig:
         return GrowConfig(
             nleaves=self.nleaves,
             min_leaf_support=self.minleafsupport,
-            num_bins=tr.num_bins,
+            num_bins=num_bins,
             max_features=self.max_features,
             newton=self._newton,
         )
@@ -129,54 +175,141 @@ class Mart(LTRAlgorithm):
     def _tree_weight(self) -> float:
         return self.shrinkage
 
+    def _descend_depth(self) -> int:
+        """Static bound on tree depth for the descent scorer (best-first
+        chain depth <= nleaves - 1)."""
+        return self.nleaves
+
+    def _fit_and_assign(self, tr: StepData, grad, smask, cfg, key, axis_name):
+        """Fit one tree; returns (Tree without leaf values, node_of_doc)."""
+        return fit_tree(
+            tr.binned, grad, smask, tr.thresholds, cfg, key=key, axis_name=axis_name
+        )
+
     # -- sampling ------------------------------------------------------------
 
-    def _sample_mask(self, tr: TrainData, key):
+    def _sample_mask(self, sd: StepData, key):
         """Random doc subset of size subsample*N (count if subsample > 1),
-        mirroring the shuffle-and-take of mart.cc:312-329."""
-        doc_mask = tr.padded.doc_mask
+        mirroring the shuffle-and-take of mart.cc:312-329.  Count is computed
+        from the local shard's valid docs."""
+        doc_mask = sd.doc_mask
         if self.subsample == 1.0:
             return doc_mask
-        n = tr.num_real_docs
-        k = int(self.subsample) if self.subsample > 1 else max(
-            1, int(self.subsample * n)
-        )
-        if k >= n:
-            return doc_mask
-        r = jax.random.uniform(key, doc_mask.shape)
-        r = jnp.where(doc_mask, r, jnp.inf)
-        kth = jnp.sort(r)[k - 1]
+        n = jnp.sum(doc_mask.astype(jnp.int32))
+        if self.subsample > 1.0:
+            k = jnp.minimum(jnp.asarray(int(self.subsample), jnp.int32), n)
+        else:
+            k = jnp.clip((self.subsample * n).astype(jnp.int32), 1, n)
+        r = jnp.where(doc_mask, jax.random.uniform(key, doc_mask.shape), jnp.inf)
+        kth = jnp.sort(r)[jnp.maximum(k - 1, 0)]
         return doc_mask & (r <= kth)
 
-    # -- training ------------------------------------------------------------
+    # -- the boosting step ---------------------------------------------------
 
-    def _make_step(self, tr: TrainData, va: Optional[TrainData], metric: Metric):
-        cfg = self._grow_config(tr)
-        md = self.nleaves  # depth bound: best-first chain <= nleaves-1
+    def _step_body(
+        self,
+        ens: EnsembleTensors,
+        scores_tr,
+        scores_va,
+        key,
+        tr: StepData,
+        va: Optional[StepData],
+        metric: Metric,
+        cfg: GrowConfig,
+        axis_name: Optional[str],
+    ):
+        md = self._descend_depth()
         shrinkage = self._tree_weight()
+        k1, k2, k3 = jax.random.split(key, 3)
+        if axis_name is not None:
+            # Per-shard doc subsampling; split decisions stay replicated
+            # because they derive from psum'd histograms.
+            k1 = jax.random.fold_in(k1, jax.lax.axis_index(axis_name))
+        smask = self._sample_mask(tr, k1)
+        grad, w = self._gradients(tr, scores_tr, smask, k2)
+        tree, node = self._fit_and_assign(tr, grad, smask, cfg, k3, axis_name)
+        tree = leaf_outputs(
+            tree,
+            node,
+            grad,
+            smask,
+            weights=w if self._newton else None,
+            axis_name=axis_name,
+        )
+        ens2 = ens.push(tree, shrinkage)
+        d_tr = tree.leaf_value[descend_tree_binned(tr.binned, tree, md)]
+        s_tr = scores_tr + shrinkage * d_tr
+        m_tr = eval_metric(metric, tr, s_tr, axis_name)
+        if va is None:
+            return ens2, s_tr, scores_va, m_tr, jnp.float32(jnp.nan)
+        d_va = tree.leaf_value[descend_tree_binned(va.binned, tree, md)]
+        s_va = scores_va + shrinkage * d_va
+        m_va = eval_metric(metric, va, s_va, axis_name)
+        return ens2, s_tr, s_va, m_tr, m_va
 
-        def step(ens, scores_tr, scores_va, key):
-            k1, k2, k3 = jax.random.split(key, 3)
-            smask = self._sample_mask(tr, k1)
-            grad, w = self._gradients(tr, scores_tr, smask, k2)
-            tree, node = fit_tree(
-                tr.binned, grad, smask, tr.thresholds, cfg, key=k3
-            )
-            tree = leaf_outputs(
-                tree, node, grad, smask, weights=w if self._newton else None
-            )
-            ens2 = ens.push(tree, shrinkage)
-            d_tr = tree.leaf_value[descend_tree_binned(tr.binned, tree, md)]
-            s_tr = scores_tr + shrinkage * d_tr
-            m_tr = jnp.asarray(metric.evaluate_padded(tr.padded, s_tr), jnp.float32)
-            if va is None:
-                return ens2, s_tr, scores_va, m_tr, jnp.float32(jnp.nan)
-            d_va = tree.leaf_value[descend_tree_binned(va.binned, tree, md)]
-            s_va = scores_va + shrinkage * d_va
-            m_va = jnp.asarray(metric.evaluate_padded(va.padded, s_va), jnp.float32)
-            return ens2, s_tr, s_va, m_tr, m_va
+    def _make_step(
+        self,
+        tr: TrainData,
+        va: Optional[TrainData],
+        metric: Metric,
+        mesh: Optional[Mesh],
+    ):
+        cfg = self._grow_config(tr.num_bins)
+        va_sd = va.step if va is not None else None
 
-        return jax.jit(step, donate_argnums=(0, 1, 2))
+        if mesh is None:
+            def step(ens, s_tr, s_va, key):
+                return self._step_body(
+                    ens, s_tr, s_va, key, tr.step, va_sd, metric, cfg, None
+                )
+
+            return jax.jit(step, donate_argnums=(0, 1, 2))
+
+        axis = mesh.axis_names[0]
+        sd_specs = step_data_specs(tr.step, axis)
+        va_specs = step_data_specs(va_sd, axis) if va_sd is not None else None
+        rep = P()
+        ens_specs = jax.tree.map(lambda _: rep, EnsembleTensors.empty(1, 1))
+
+        def sharded(ens, s_tr, s_va, key, tr_sd, va_sd_):
+            return self._step_body(
+                ens, s_tr, s_va, key, tr_sd, va_sd_, metric, cfg, axis
+            )
+
+        in_specs = (ens_specs, P(axis), P(axis) if va_sd is not None else rep, rep)
+        out_specs = (
+            ens_specs,
+            P(axis),
+            P(axis) if va_sd is not None else rep,
+            rep,
+            rep,
+        )
+        if va_sd is not None:
+            mapped = shard_map(
+                sharded,
+                mesh=mesh,
+                in_specs=in_specs + (sd_specs, va_specs),
+                out_specs=out_specs,
+                check_rep=False,
+            )
+        else:
+            mapped = shard_map(
+                partial(sharded, va_sd_=None),
+                mesh=mesh,
+                in_specs=in_specs + (sd_specs,),
+                out_specs=out_specs,
+                check_rep=False,
+            )
+
+        @jax.jit
+        def step(ens, s_tr, s_va, key):
+            if va_sd is not None:
+                return mapped(ens, s_tr, s_va, key, tr.step, va_sd)
+            return mapped(ens, s_tr, s_va, key, tr.step)
+
+        return step
+
+    # -- training ------------------------------------------------------------
 
     def learn(
         self,
@@ -184,14 +317,27 @@ class Mart(LTRAlgorithm):
         valid: Optional[Dataset] = None,
         metric: Optional[Metric] = None,
         verbose: bool = True,
+        mesh: Optional[Mesh] = None,
     ) -> dict:
         metric = metric or self.default_metric()
         t_init = time.time()
-        tr = TrainData.build(train, self.nthresholds)
+        num_shards = mesh.devices.size if mesh is not None else 1
+        tr = TrainData.build(train, self.nthresholds, num_shards=num_shards)
         va = (
-            TrainData.for_eval(valid, tr.thresholds) if valid is not None else None
+            TrainData.build(
+                valid,
+                self.nthresholds,
+                num_shards=num_shards,
+                thresholds=np.asarray(tr.step.thresholds),
+            )
+            if valid is not None
+            else None
         )
-        cfg = self._grow_config(tr)
+        if mesh is not None:
+            tr = dataclasses.replace(tr, step=shard_step_data(tr.step, mesh))
+            if va is not None:
+                va = dataclasses.replace(va, step=shard_step_data(va.step, mesh))
+        cfg = self._grow_config(tr.num_bins)
         ens = EnsembleTensors.empty(self.ntrees, cfg.max_nodes)
         scores_tr = jnp.zeros((tr.padded.num_docs_padded,), jnp.float32)
         scores_va = (
@@ -199,8 +345,8 @@ class Mart(LTRAlgorithm):
             if va is not None
             else jnp.zeros((1,), jnp.float32)
         )
-        step = self._make_step(tr, va, metric)
         self._post_init(tr)
+        step = self._make_step(tr, va, metric, mesh)
         init_time = time.time() - t_init
 
         root_key = jax.random.PRNGKey(self.seed)
@@ -263,12 +409,12 @@ class Mart(LTRAlgorithm):
     def score_dataset(self, ds: Dataset) -> np.ndarray:
         ens = self._require_model()
         feats = jnp.asarray(ds.features)
-        return np.asarray(score_ensemble(feats, ens, max_depth=self.nleaves))
+        return np.asarray(score_ensemble(feats, ens, max_depth=self._descend_depth()))
 
     def partial_scores_dataset(self, ds: Dataset) -> np.ndarray:
         ens = self._require_model()
         feats = jnp.asarray(ds.features)
-        return np.asarray(partial_scores(feats, ens, max_depth=self.nleaves))
+        return np.asarray(partial_scores(feats, ens, max_depth=self._descend_depth()))
 
     def get_weights(self) -> np.ndarray:
         ens = self._require_model()

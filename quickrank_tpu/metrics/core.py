@@ -19,7 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-NEG_INF = jnp.float32(-jnp.inf)
+# Plain float (not a jnp array): module import must not initialize a backend.
+NEG_INF = float("-inf")
 
 
 def rank_order(scores: jnp.ndarray, slot_mask: jnp.ndarray) -> jnp.ndarray:

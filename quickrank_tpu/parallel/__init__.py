@@ -1,0 +1,8 @@
+from quickrank_tpu.parallel.mesh import (
+    DATA_AXIS,
+    make_mesh,
+    shard_step_data,
+    step_data_specs,
+)
+
+__all__ = ["DATA_AXIS", "make_mesh", "shard_step_data", "step_data_specs"]

@@ -1,0 +1,58 @@
+"""Device-mesh helpers: query-sharded data parallelism over ICI.
+
+The reference has no distributed layer at all (SURVEY.md §2.9) — its only
+parallelism is intra-node OpenMP.  Here the equivalent first-class component:
+queries are packed into equal per-shard blocks (data/dataset.py
+``shard_and_pad``), every per-doc / per-query array is sharded on axis 0 over
+a 1-D mesh, and the boosting step runs under ``shard_map`` with exactly two
+collective sites:
+
+  1. the (feature, bin) split-statistics histogram ``psum`` per tree node
+     (the cross-chip analog of the shared-memory accumulation in
+     rtnode_histogram.cc:51-63), and
+  2. the metric numerator/denominator ``psum`` per iteration (the analog of
+     the mean over queries in metric.h:84-90).
+
+Split decisions are derived from the reduced histograms, so every chip grows
+an identical tree — the ensemble state stays replicated by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    """1-D mesh over the first ``num_devices`` devices (default: all)."""
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(devs, (axis,))
+
+
+def step_data_specs(sd, axis: str = DATA_AXIS):
+    """PartitionSpec pytree for a :class:`~quickrank_tpu.learning.mart.StepData`:
+    every doc/query-axis array sharded on axis 0, threshold table replicated."""
+    return sd.replace(
+        binned=P(axis, None),
+        labels=P(axis),
+        doc_mask=P(axis),
+        pad_index=P(axis, None),
+        slot_mask=P(axis, None),
+        query_mask=P(axis),
+        nvalid=P(axis),
+        thresholds=P(None, None),
+    )
+
+
+def shard_step_data(sd, mesh: Mesh, axis: str = DATA_AXIS):
+    """Place a StepData's arrays on the mesh with the specs above."""
+    specs = step_data_specs(sd, axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), sd, specs
+    )

@@ -34,7 +34,8 @@ from flax import struct
 from quickrank_tpu.ops.histogram import doc_channels, masked_histogram
 from quickrank_tpu.trees.structs import Tree
 
-NEG_INF = jnp.float32(-jnp.inf)
+# Plain float (not a jnp array): module import must not initialize a backend.
+NEG_INF = float("-inf")
 
 
 @dataclasses.dataclass(frozen=True)

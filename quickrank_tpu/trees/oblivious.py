@@ -1,0 +1,217 @@
+"""Oblivious (symmetric) regression trees: level-synchronous fit + dense SoA.
+
+TPU-native re-design of ``ObliviousRT`` (src/learning/tree/ot.cc:32-201):
+one (feature, threshold) is chosen per depth level by maximizing the gain
+summed across every fringe node, then all nodes split synchronously.  The
+per-level histogram walk becomes one batched ``node_histograms`` scatter-add
+over all 2^d fringe nodes, and the (feature, bin) scan is a single masked
+argmax over the summed gain tensor.
+
+Reference semantics preserved (ot.cc:177-201 ``fill``):
+  * gain(f, t) = sum over fringe nodes of lsum^2/lcount + rsum^2/rcount;
+  * a (f, t) violating min_leaf_support in ANY fringe node is invalid;
+  * growth stops early when no (f, t) is valid or max gain == 0 — dead
+    levels get threshold +inf (every doc routes left), preserving depth-D
+    static shapes;
+  * leaf values = per-leaf mean (or Newton sum(lambda)/sum(w)) via
+    :func:`oblivious_leaf_outputs`.
+
+The dense layout (feature id + threshold per LEVEL, 2^D leaf values) is what
+makes scoring traversal-free: leaf index = OR of per-level comparison bits —
+exactly the quickscore oblivious trick (src/io/generate_oblivious.cc:306-312).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from quickrank_tpu.ops.histogram import doc_channels, node_histograms
+
+NEG_INF = float("-inf")
+FLT_MAX = float(3.4028235e38)
+
+
+@struct.dataclass
+class ObliviousEnsemble:
+    """Stacked oblivious trees.
+
+    fid: i32 [T, D] split feature per level; thr: f32 [T, D] (+FLT_MAX on
+    dead levels); thr_bin: i32 [T, D]; leaf: f32 [T, 2^D]; weight: f32 [T];
+    num_trees: i32 scalar (live prefix).
+    """
+
+    fid: jnp.ndarray
+    thr: jnp.ndarray
+    thr_bin: jnp.ndarray
+    leaf: jnp.ndarray
+    weight: jnp.ndarray
+    num_trees: jnp.ndarray
+
+    @property
+    def capacity(self) -> int:
+        return int(self.fid.shape[0])
+
+    @property
+    def depth(self) -> int:
+        return int(self.fid.shape[1])
+
+    @property
+    def num_leaves(self) -> int:
+        return int(self.leaf.shape[1])
+
+    @staticmethod
+    def empty(capacity: int, depth: int) -> "ObliviousEnsemble":
+        return ObliviousEnsemble(
+            fid=jnp.zeros((capacity, depth), jnp.int32),
+            thr=jnp.full((capacity, depth), FLT_MAX, jnp.float32),
+            thr_bin=jnp.full((capacity, depth), 2**30, jnp.int32),
+            leaf=jnp.zeros((capacity, 2**depth), jnp.float32),
+            weight=jnp.zeros((capacity,), jnp.float32),
+            num_trees=jnp.asarray(0, jnp.int32),
+        )
+
+    def push(self, fid, thr, thr_bin, leaf, weight) -> "ObliviousEnsemble":
+        t = self.num_trees
+        return self.replace(
+            fid=self.fid.at[t].set(fid),
+            thr=self.thr.at[t].set(thr),
+            thr_bin=self.thr_bin.at[t].set(thr_bin),
+            leaf=self.leaf.at[t].set(leaf),
+            weight=self.weight.at[t].set(jnp.asarray(weight, jnp.float32)),
+            num_trees=t + 1,
+        )
+
+
+def fit_oblivious_tree(
+    binned: jnp.ndarray,
+    grad: jnp.ndarray,
+    doc_mask: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    depth: int,
+    min_leaf_support: int = 1,
+    axis_name: Optional[str] = None,
+):
+    """Level-synchronous fit (ot.cc:46-175 semantics, fully batched).
+
+    Returns (fid [D], thr [D], thr_bin [D], node_of_doc [N] in [0, 2^D)).
+    """
+    N, F = binned.shape
+    B = thresholds.shape[1]
+    chan = doc_channels(grad, doc_mask)
+    node = jnp.zeros((N,), jnp.int32)
+    fid = jnp.zeros((depth,), jnp.int32)
+    thr = jnp.full((depth,), FLT_MAX, jnp.float32)
+    thr_bin = jnp.full((depth,), B, jnp.int32)
+    alive = jnp.asarray(True)
+
+    for d in range(depth):
+        n_nodes = 2**d
+        hist = node_histograms(binned, chan, node, doc_mask, n_nodes, B)
+        if axis_name is not None:
+            hist = jax.lax.psum(hist, axis_name)
+        cum = jnp.cumsum(hist, axis=2)  # [nodes, F, B, 3]
+        lc = cum[..., 0]
+        ls = cum[..., 1]
+        tc = cum[:, :, -1:, 0]
+        ts = cum[:, :, -1:, 1]
+        rc = tc - lc
+        rs = ts - ls
+        node_gain = ls * ls / jnp.maximum(lc, 1.0) + rs * rs / jnp.maximum(rc, 1.0)
+        ok = (lc >= min_leaf_support) & (rc >= min_leaf_support)
+        valid = jnp.all(ok, axis=0)  # [F, B]: must hold for EVERY fringe node
+        gain = jnp.where(valid, jnp.sum(node_gain, axis=0), NEG_INF)
+        flat = jnp.argmax(gain)
+        f_star = (flat // B).astype(jnp.int32)
+        t_star = (flat % B).astype(jnp.int32)
+        best = gain.reshape(-1)[flat]
+        can = alive & jnp.any(valid) & (best > 0)
+
+        fcol = jax.lax.dynamic_index_in_dim(binned, f_star, axis=1, keepdims=False)
+        bit = (fcol > t_star).astype(jnp.int32)
+        node = jnp.where(can, 2 * node + bit, 2 * node)
+        fid = fid.at[d].set(jnp.where(can, f_star, 0))
+        thr = thr.at[d].set(jnp.where(can, thresholds[f_star, t_star], FLT_MAX))
+        thr_bin = thr_bin.at[d].set(jnp.where(can, t_star, B))
+        alive = can
+
+    return fid, thr, thr_bin, node
+
+
+def oblivious_leaf_outputs(
+    node_of_doc: jnp.ndarray,
+    grad: jnp.ndarray,
+    doc_mask: jnp.ndarray,
+    num_leaves: int,
+    weights: Optional[jnp.ndarray] = None,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Leaf values: mean pseudoresponse (ot.cc:146-152) or Newton step."""
+    ok = doc_mask
+    idx = jnp.where(ok, node_of_doc, num_leaves)
+    g = jnp.where(ok, grad, 0.0)
+    sums = jnp.zeros((num_leaves + 1,), jnp.float32).at[idx].add(g)
+    if weights is None:
+        den = (
+            jnp.zeros((num_leaves + 1,), jnp.float32)
+            .at[idx]
+            .add(ok.astype(jnp.float32))
+        )
+    else:
+        den = (
+            jnp.zeros((num_leaves + 1,), jnp.float32)
+            .at[idx]
+            .add(jnp.where(ok, weights, 0.0))
+        )
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        den = jax.lax.psum(den, axis_name)
+    eps = jnp.float32(2.220446049250313e-16)
+    return jnp.where(den >= eps, sums / jnp.maximum(den, eps), 0.0)[:num_leaves]
+
+
+# ---------------------------------------------------------------------------
+# Conversion to the generic padded-binary-tree layout (shared ensemble/XML
+# machinery): an oblivious tree IS the perfect tree that repeats (fid, thr)
+# across each level.
+# ---------------------------------------------------------------------------
+
+
+def oblivious_to_tree(fid, thr, thr_bin, leaf):
+    """(fid [D], thr [D], leaf [2^D]) -> dense Tree arrays (perfect tree,
+    heap layout: node i children 2i+1 / 2i+2, leaves at the last level)."""
+    from quickrank_tpu.trees.structs import Tree
+
+    D = fid.shape[0]
+    L = 2**D
+    n_internal = L - 1
+    max_nodes = 2 * L - 1
+
+    idx = jnp.arange(max_nodes)
+    internal = idx < n_internal
+    # Heap layout: node i sits at depth floor(log2(i + 1)).
+    lvl = jnp.clip(
+        jnp.floor(jnp.log2(idx.astype(jnp.float32) + 1.0)).astype(jnp.int32),
+        0,
+        D - 1,
+    )
+    feature = jnp.where(internal, fid[lvl], -1).astype(jnp.int32)
+    threshold = jnp.where(internal, thr[lvl], 0.0).astype(jnp.float32)
+    tbin = jnp.where(internal, thr_bin[lvl], -1).astype(jnp.int32)
+    left = jnp.where(internal, 2 * idx + 1, 0).astype(jnp.int32)
+    right = jnp.where(internal, 2 * idx + 2, 0).astype(jnp.int32)
+    is_leaf = ~internal
+    leaf_value = jnp.concatenate([jnp.zeros((n_internal,), jnp.float32), leaf])
+    return Tree(
+        feature=feature,
+        threshold=threshold,
+        threshold_bin=tbin,
+        left=left,
+        right=right,
+        is_leaf=is_leaf,
+        leaf_value=leaf_value,
+        n_nodes=jnp.asarray(max_nodes, jnp.int32),
+    )

@@ -1,15 +1,20 @@
 """Test configuration: run everything on an 8-virtual-device CPU platform so
 multi-chip sharding paths (mesh + shard_map + psum) are exercised without TPU
-hardware.  Mirrors the strategy SURVEY.md §4 prescribes for the TPU build."""
+hardware.  Mirrors the strategy SURVEY.md §4 prescribes for the TPU build.
+
+NOTE: this environment pre-imports jax at interpreter startup (TPU plugin
+registration), so env vars set here would be too late — the platform must be
+forced through ``jax.config`` before the first backend query."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+import jax
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) >= 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
