@@ -155,6 +155,8 @@ class Mart(LTRAlgorithm):
         self.ensemble: Optional[EnsembleTensors] = None
         self.best_iteration: int = -1
         self.history: dict = {}
+        #: depth bound of a model loaded from XML (trees of unknown shape)
+        self._depth_bound: Optional[int] = None
 
     # -- hooks for subclasses ------------------------------------------------
 
@@ -177,8 +179,8 @@ class Mart(LTRAlgorithm):
 
     def _descend_depth(self) -> int:
         """Static bound on tree depth for the descent scorer (best-first
-        chain depth <= nleaves - 1)."""
-        return self.nleaves
+        chain depth <= nleaves - 1; XML-loaded models carry their own)."""
+        return self._depth_bound or self.nleaves
 
     def _fit_and_assign(self, tr: StepData, grad, smask, cfg, key, axis_name):
         """Fit one tree; returns (Tree without leaf values, node_of_doc)."""
@@ -440,6 +442,57 @@ class Mart(LTRAlgorithm):
             weight=jnp.asarray(w[keep]),
             num_trees=jnp.asarray(len(keep), jnp.int32),
         )
+
+    # -- XML interop (QuickRank format, io/xml_model.py) ---------------------
+
+    def _info_dict(self) -> dict:
+        """<ranker><info> payload (mart.cc:474-486)."""
+        return {
+            "trees": self.ntrees,
+            "leaves": self.nleaves,
+            "shrinkage": self.shrinkage,
+            "leafsupport": self.minleafsupport,
+            "discretization": self.nthresholds,
+            "estop": self.esr,
+            "subsample": self.subsample,
+            "max_features": self.max_features,
+            "collapse_leaves_factor": 0,
+        }
+
+    def _to_xml(self):
+        from quickrank_tpu.io.xml_model import ensemble_to_xml
+
+        return ensemble_to_xml(self._require_model(), self._info_dict(), self.NAME)
+
+    @staticmethod
+    def _info_get(info, tag, cast, default):
+        el = info.find(tag)
+        return cast(el.text) if el is not None and el.text else default
+
+    @classmethod
+    def _ctor_kwargs_from_info(cls, info) -> dict:
+        g = cls._info_get
+        return dict(
+            ntrees=g(info, "trees", int, 1000),
+            shrinkage=g(info, "shrinkage", float, 0.1),
+            nthresholds=g(info, "discretization", int, 255),
+            nleaves=g(info, "leaves", int, 10),
+            minleafsupport=g(info, "leafsupport", int, 1),
+            esr=g(info, "estop", int, 100),
+            subsample=g(info, "subsample", float, 1.0),
+            max_features=g(info, "max_features", float, 1.0),
+        )
+
+    @classmethod
+    def _from_xml(cls, root):
+        from quickrank_tpu.io.xml_model import parse_ensemble
+
+        info = root.find("info")
+        algo = cls(**cls._ctor_kwargs_from_info(info))
+        ens, max_depth = parse_ensemble(root)
+        algo.ensemble = ens
+        algo._depth_bound = max_depth + 1
+        return algo
 
     def __repr__(self):
         return (

@@ -38,6 +38,18 @@ class _ObliviousFit:
     def _descend_depth(self) -> int:
         return self.treedepth + 1
 
+    def _info_dict(self) -> dict:
+        d = super()._info_dict()
+        d["depth"] = self.treedepth  # obliviousmart.cc:77
+        return d
+
+    @classmethod
+    def _ctor_kwargs_from_info(cls, info) -> dict:
+        kw = super()._ctor_kwargs_from_info(info)
+        kw.pop("nleaves", None)  # derived from depth
+        kw["treedepth"] = cls._info_get(info, "depth", int, 4)
+        return kw
+
     def _fit_and_assign(self, tr: StepData, grad, smask, cfg, key, axis_name):
         fid, thr, tbin, leafidx = fit_oblivious_tree(
             tr.binned,
@@ -58,18 +70,44 @@ class _ObliviousFit:
     # -- fast inference ------------------------------------------------------
 
     def oblivious_ensemble(self) -> ObliviousEnsemble:
-        """Extract the [T, D] level tables from the stored perfect trees."""
+        """Extract the [T, D] level tables from the stored symmetric trees.
+
+        Node-numbering agnostic (works for freshly-trained heap-layout trees
+        and XML-loaded DFS-numbered ones): per level, (feature, threshold)
+        is read off the leftmost path; leaf l is reached by walking l's bits.
+        """
         ens = self._require_model()
         T = int(ens.num_trees)
         D = self.treedepth
         L = 2**D
-        # Level d is represented by heap node 2^d - 1 (all nodes of a level
-        # share (feature, threshold) in an oblivious tree).
-        lvl_nodes = (2 ** np.arange(D)) - 1
-        fid = np.asarray(ens.feature)[:T][:, lvl_nodes]
-        thr = np.asarray(ens.threshold)[:T][:, lvl_nodes]
-        tbin = np.asarray(ens.threshold_bin)[:T][:, lvl_nodes]
-        leaf = np.asarray(ens.leaf_value)[:T][:, L - 1 :]
+        feat = np.asarray(ens.feature)
+        thrv = np.asarray(ens.threshold)
+        tbv = np.asarray(ens.threshold_bin)
+        lft = np.asarray(ens.left)
+        rgt = np.asarray(ens.right)
+        lv = np.asarray(ens.leaf_value)
+        isl = np.asarray(ens.is_leaf)
+
+        fid = np.zeros((T, D), np.int32)
+        thr = np.full((T, D), np.finfo(np.float32).max, np.float32)
+        tbin = np.full((T, D), 2**30, np.int32)
+        leaf = np.zeros((T, L), np.float32)
+        for t in range(T):
+            node = 0
+            for d in range(D):
+                if isl[t, node]:
+                    break  # shallower tree: dead levels keep +inf thresholds
+                fid[t, d] = feat[t, node]
+                thr[t, d] = thrv[t, node]
+                tbin[t, d] = tbv[t, node]
+                node = lft[t, node]
+            for l in range(L):
+                node = 0
+                for d in range(D):
+                    if isl[t, node]:
+                        break
+                    node = rgt[t, node] if (l >> (D - 1 - d)) & 1 else lft[t, node]
+                leaf[t, l] = lv[t, node]
         return ObliviousEnsemble(
             fid=jnp.asarray(fid),
             thr=jnp.asarray(thr),

@@ -1,0 +1,296 @@
+"""CLEAVER — ensemble pruning + line-search re-weighting.
+
+TPU-native re-design of ``Cleaver`` (src/optimization/post_learning/cleaver/
+cleaver.cc:166-418) and its 8 pruning strategies (random_pruning.cc,
+random_adv_pruning.cc, low_weights_pruning.cc, skip_pruning.cc,
+last_pruning.cc, quality_loss_pruning.cc, quality_loss_adv_pruning.cc,
+score_loss_pruning.cc).  Everything operates on the **partial-score matrix**
+``P [num_docs, num_trees]`` (one batched scoring pass replaces the
+per-doc/per-tree loop of Driver::extract_partial_scores, driver.cc:411-446);
+each strategy's per-candidate rescoring is a masked broadcast + one batched
+metric evaluation instead of an OpenMP loop.
+
+Flow (cleaver.cc:166-418):
+  1. weights <- algo weights (or preset);
+  2. optional LineSearch *pre*-pruning for weight-sensitive strategies
+     (LOW_WEIGHTS / QUALITY_LOSS(_ADV) / SCORE_LOSS);
+  3. ``pruning`` picks ``estimators_to_prune`` trees from the last
+     ``last_estimators_to_optimize`` ones;
+  4. weights reset to their pre-LS values, pruned entries zeroed;
+  5. optional LineSearch *post*-pruning on the column-filtered matrix;
+  6. ``algo.update_weights`` writes back (dropping zero-weight trees).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from quickrank_tpu.data.dataset import Dataset, pack_doc_values, shard_and_pad
+from quickrank_tpu.learning.linear import LineSearch
+from quickrank_tpu.metrics.metrics import Metric
+
+PRUNING_METHODS = (
+    "RANDOM",
+    "RANDOM_ADV",
+    "LOW_WEIGHTS",
+    "SKIP",
+    "LAST",
+    "QUALITY_LOSS",
+    "QUALITY_LOSS_ADV",
+    "SCORE_LOSS",
+)
+
+#: strategies that need line-search-derived weights before pruning
+#: (cleaver.cc:44-47 + each strategy's line_search_pre_pruning())
+_PRE_LS = {"LOW_WEIGHTS", "QUALITY_LOSS", "QUALITY_LOSS_ADV", "SCORE_LOSS"}
+
+
+class Optimization:
+    """Base optimizer interface (include/optimization/optimization.h:19-55)."""
+
+    def is_pre_learning(self) -> bool:
+        return False
+
+    def need_partial_score_dataset(self) -> bool:
+        return False
+
+    def optimize(self, algo, train, valid, metric) -> dict:
+        raise NotImplementedError
+
+
+class Cleaver(Optimization):
+    NAME = "CLEAVER"
+
+    def __init__(
+        self,
+        pruning_method: str = "QUALITY_LOSS",
+        pruning_rate: float = 0.5,
+        line_search: Optional[LineSearch] = None,
+        last_estimators_to_optimize: int = 0,
+        seed: int = 0,
+    ):
+        method = pruning_method.upper()
+        if method not in PRUNING_METHODS:
+            raise ValueError(
+                f"unknown pruning method {method!r}; known: {PRUNING_METHODS}"
+            )
+        self.pruning_method = method
+        self.pruning_rate = float(pruning_rate)
+        self.line_search = line_search
+        self.last_estimators_to_optimize = int(last_estimators_to_optimize)
+        self.seed = int(seed)
+        self.weights_: Optional[np.ndarray] = None
+
+    def is_pre_learning(self) -> bool:
+        return False  # post_learning_opt.h:34
+
+    def need_partial_score_dataset(self) -> bool:
+        return True  # cleaver.h:70
+
+    def line_search_pre_pruning(self) -> bool:
+        return self.pruning_method in _PRE_LS
+
+    def update_weights(self, weights) -> None:
+        self.weights_ = np.asarray(weights, np.float64).copy()
+
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _partial_dataset(algo, ds: Dataset) -> Dataset:
+        """Per-tree score dataset: rows=docs, cols=trees (driver.cc:411-446)."""
+        P = algo.partial_scores_dataset(ds).astype(np.float32)
+        qids = np.repeat(ds.qids, ds.docs_per_query())
+        return Dataset.from_arrays(P, ds.labels, qids, name=f"partial:{ds.name}")
+
+    @staticmethod
+    def _metric_of(metric: Metric, ds: Dataset, scores) -> float:
+        padded = shard_and_pad(ds)
+        return float(
+            metric.evaluate_dataset(padded, pack_doc_values(padded, scores))
+        )
+
+    def optimize(self, algo, train, valid=None, metric=None, verbose=True) -> dict:
+        metric = metric or algo.default_metric()
+        ptrain = self._partial_dataset(algo, train)
+        pvalid = self._partial_dataset(algo, valid) if valid is not None else None
+        T = ptrain.num_features
+
+        window = self.last_estimators_to_optimize or T
+        opt_last_only = self.last_estimators_to_optimize > 0
+        if self.pruning_rate < 1:
+            to_prune = int(round(self.pruning_rate * window))
+        else:
+            to_prune = int(self.pruning_rate)
+            if to_prune >= window:
+                raise ValueError("pruning rate too high (cleaver.cc:188-193)")
+
+        if self.weights_ is None:
+            weights = np.asarray(algo.get_weights(), np.float64)
+        else:
+            if len(self.weights_) != T:
+                raise ValueError("preset Cleaver weights size mismatch")
+            weights = self.weights_.copy()
+        starting_weights = weights.copy()
+
+        m_before = self._metric_of(metric, ptrain, ptrain.features @ weights)
+        info = {"metric_before": m_before, "num_trees_before": T}
+        if verbose:
+            print(f"# CLEAVER[{self.pruning_method}] trees={T} prune={to_prune}")
+            print(f"# before: train {m_before:.4f}")
+
+        # -- optional pre-pruning line search -------------------------------
+        if self.line_search_pre_pruning() and to_prune > 0 and self.line_search:
+            ls = self.line_search
+            if opt_last_only:
+                ls.train_only_last = window
+            if ls.best_weights is None:
+                ls.update_weights(weights)
+                ls.learn(ptrain, pvalid, metric, verbose=False)
+                weights = ls.get_weights().copy()
+            else:
+                # Reuse pre-learned LS weights, rescaled to the algo's weight
+                # magnitude (cleaver.cc:265-291).
+                lw = ls.get_weights()
+                scale = (np.mean(lw) / max(np.mean(starting_weights), 1e-12))
+                weights = lw / max(scale, 1e-12)
+
+        # -- strategy selection ---------------------------------------------
+        pruned = self._pruning(weights, ptrain, metric, window, to_prune)
+        info["pruned"] = sorted(int(i) for i in pruned)
+
+        # -- zero pruned, keep pre-LS values for survivors ------------------
+        weights = starting_weights.copy()
+        weights[list(pruned)] = 0.0
+
+        # -- post-pruning line search on the filtered matrix ----------------
+        if self.line_search is not None:
+            keep = np.asarray(
+                [f for f in range(T) if f not in pruned], dtype=np.int64
+            )
+            ls = self.line_search
+            ls.update_weights(weights[keep])
+            if opt_last_only:
+                ls.train_only_last = window - to_prune
+            ftrain = _filter_columns(ptrain, keep)
+            fvalid = _filter_columns(pvalid, keep) if pvalid is not None else None
+            ls.learn(ftrain, fvalid, metric, verbose=False)
+            weights[keep] = ls.get_weights()
+
+        # -- write back (drops zero-weight trees, ensemble.cc:149-192) ------
+        algo.update_weights(weights)
+        self.weights_ = weights
+
+        m_after = self._metric_of(metric, ptrain, ptrain.features @ weights)
+        info["metric_after"] = m_after
+        info["num_trees_after"] = int(np.sum(weights != 0))
+        if verbose:
+            print(
+                f"# after: train {m_after:.4f} "
+                f"({info['num_trees_after']} trees)"
+            )
+        return info
+
+    # -- strategies ------------------------------------------------------
+
+    def _pruning(self, weights, ptrain: Dataset, metric, window, k) -> set:
+        T = ptrain.num_features
+        start = T - window
+        rng = np.random.default_rng(self.seed)
+        method = self.pruning_method
+
+        if method == "RANDOM":
+            return set(start + rng.choice(window, size=k, replace=False))
+
+        if method == "LAST":
+            return set(range(T - k, T))
+
+        if method == "SKIP":
+            # keep every (window/(window-k))-th (skip_pruning.cc:47-59)
+            select = window - k
+            step = window / select
+            kept = {int(np.ceil(step * i + start)) for i in range(select)}
+            return {f for f in range(start, T) if f not in kept}
+
+        if method == "LOW_WEIGHTS":
+            idx = np.argsort(weights[start:T], kind="stable")[:k]
+            return set(start + idx)
+
+        P = ptrain.features
+        padded = shard_and_pad(ptrain)
+        X = jnp.asarray(P)
+        w = jnp.asarray(weights, jnp.float32)
+        base = X @ w
+
+        def eval_batch(scores_batch):
+            f = jax.jit(
+                jax.vmap(
+                    lambda s: metric.evaluate_padded(
+                        padded, pack_doc_values(padded, s)
+                    )
+                )
+            )
+            return np.asarray(f(scores_batch))
+
+        if method == "QUALITY_LOSS":
+            cand = base[None, :] - (w[start:T, None] * X.T[start:T])
+            ms = eval_batch(cand)
+            # prune the k whose removal leaves the HIGHEST metric
+            idx = np.argsort(-ms, kind="stable")[:k]
+            return set(start + idx)
+
+        if method == "QUALITY_LOSS_ADV":
+            # greedy: re-evaluate removal metrics after each pick
+            pruned: set = set()
+            base_np = np.asarray(base)
+            for _ in range(k):
+                cand = base_np[None, :] - np.asarray(
+                    (w[start:T, None] * X.T[start:T])
+                )
+                ms = np.array(eval_batch(jnp.asarray(cand)))
+                for f in pruned:
+                    ms[f - start] = -np.inf
+                best = int(np.argmax(ms))
+                pruned.add(start + best)
+                base_np = cand[best]
+            return pruned
+
+        if method == "SCORE_LOSS":
+            # sum of score-normalized per-tree contribution, prune smallest
+            # (score_loss_pruning.cc:58-77's literal formula)
+            base_np = np.asarray(base, np.float64)
+            safe = np.where(base_np == 0, 1e-12, base_np)
+            fs = np.sum(
+                (weights[start:T][None, :] * P[:, start:T]) / safe[:, None],
+                axis=0,
+            )
+            idx = np.argsort(fs, kind="stable")[:k]
+            return set(start + idx)
+
+        if method == "RANDOM_ADV":
+            # best of 100 random prune sets by resulting metric
+            best_set, best_m = None, -np.inf
+            sets = [
+                start + rng.choice(window, size=k, replace=False)
+                for _ in range(100)
+            ]
+            cands = np.empty((100, P.shape[0]), np.float32)
+            base_np = np.asarray(base)
+            for i, s in enumerate(sets):
+                cands[i] = base_np - P[:, s] @ weights[s]
+            ms = eval_batch(jnp.asarray(cands))
+            best = int(np.argmax(ms))
+            return set(int(x) for x in sets[best])
+
+        raise AssertionError(method)
+
+
+def _filter_columns(ds: Dataset, keep: np.ndarray) -> Dataset:
+    """Drop pruned columns (Cleaver::filter_dataset, cleaver.cc:448-481)."""
+    qids = np.repeat(ds.qids, ds.docs_per_query())
+    return Dataset.from_arrays(
+        ds.features[:, keep], ds.labels, qids, name=f"filtered:{ds.name}"
+    )
