@@ -239,6 +239,20 @@ def _registry():
         reg["LINESEARCH"] = LineSearch
     except ImportError:
         pass
+    try:
+        from quickrank_tpu.learning.rankboost import RankBoost
+        from quickrank_tpu.learning.custom import CustomLTR
+
+        reg["RANKBOOST"] = RankBoost
+        reg["CUSTOM"] = CustomLTR
+    except ImportError:
+        pass
+    try:
+        from quickrank_tpu.learning.meta import MetaCleaver
+
+        reg["METACLEAVER"] = MetaCleaver
+    except ImportError:
+        pass
     return reg
 
 

@@ -190,21 +190,21 @@ class Mart(LTRAlgorithm):
 
     # -- sampling ------------------------------------------------------------
 
-    def _sample_mask(self, sd: StepData, key):
+    def _sample_mask(self, sd: StepData, key, presence):
         """Random doc subset of size subsample*N (count if subsample > 1),
-        mirroring the shuffle-and-take of mart.cc:312-329.  Count is computed
-        from the local shard's valid docs."""
-        doc_mask = sd.doc_mask
+        mirroring the shuffle-and-take of mart.cc:312-329.  ``presence`` is
+        the algorithm-level doc pool (e.g. selective negative sampling) that
+        subsampling further thins; count is the local shard's present docs."""
         if self.subsample == 1.0:
-            return doc_mask
-        n = jnp.sum(doc_mask.astype(jnp.int32))
+            return presence
+        n = jnp.sum(presence.astype(jnp.int32))
         if self.subsample > 1.0:
             k = jnp.minimum(jnp.asarray(int(self.subsample), jnp.int32), n)
         else:
             k = jnp.clip((self.subsample * n).astype(jnp.int32), 1, n)
-        r = jnp.where(doc_mask, jax.random.uniform(key, doc_mask.shape), jnp.inf)
+        r = jnp.where(presence, jax.random.uniform(key, presence.shape), jnp.inf)
         kth = jnp.sort(r)[jnp.maximum(k - 1, 0)]
-        return doc_mask & (r <= kth)
+        return presence & (r <= kth)
 
     # -- the boosting step ---------------------------------------------------
 
@@ -214,6 +214,7 @@ class Mart(LTRAlgorithm):
         scores_tr,
         scores_va,
         key,
+        presence,
         tr: StepData,
         va: Optional[StepData],
         metric: Metric,
@@ -227,7 +228,7 @@ class Mart(LTRAlgorithm):
             # Per-shard doc subsampling; split decisions stay replicated
             # because they derive from psum'd histograms.
             k1 = jax.random.fold_in(k1, jax.lax.axis_index(axis_name))
-        smask = self._sample_mask(tr, k1)
+        smask = self._sample_mask(tr, k1, presence & tr.doc_mask)
         grad, w = self._gradients(tr, scores_tr, smask, k2)
         tree, node = self._fit_and_assign(tr, grad, smask, cfg, k3, axis_name)
         tree = leaf_outputs(
@@ -260,9 +261,10 @@ class Mart(LTRAlgorithm):
         va_sd = va.step if va is not None else None
 
         if mesh is None:
-            def step(ens, s_tr, s_va, key):
+            def step(ens, s_tr, s_va, key, presence):
                 return self._step_body(
-                    ens, s_tr, s_va, key, tr.step, va_sd, metric, cfg, None
+                    ens, s_tr, s_va, key, presence, tr.step, va_sd, metric,
+                    cfg, None,
                 )
 
             return jax.jit(step, donate_argnums=(0, 1, 2))
@@ -273,12 +275,18 @@ class Mart(LTRAlgorithm):
         rep = P()
         ens_specs = jax.tree.map(lambda _: rep, EnsembleTensors.empty(1, 1))
 
-        def sharded(ens, s_tr, s_va, key, tr_sd, va_sd_):
+        def sharded(ens, s_tr, s_va, key, presence, tr_sd, va_sd_):
             return self._step_body(
-                ens, s_tr, s_va, key, tr_sd, va_sd_, metric, cfg, axis
+                ens, s_tr, s_va, key, presence, tr_sd, va_sd_, metric, cfg, axis
             )
 
-        in_specs = (ens_specs, P(axis), P(axis) if va_sd is not None else rep, rep)
+        in_specs = (
+            ens_specs,
+            P(axis),
+            P(axis) if va_sd is not None else rep,
+            rep,
+            P(axis),
+        )
         out_specs = (
             ens_specs,
             P(axis),
@@ -304,10 +312,10 @@ class Mart(LTRAlgorithm):
             )
 
         @jax.jit
-        def step(ens, s_tr, s_va, key):
+        def step(ens, s_tr, s_va, key, presence):
             if va_sd is not None:
-                return mapped(ens, s_tr, s_va, key, tr.step, va_sd)
-            return mapped(ens, s_tr, s_va, key, tr.step)
+                return mapped(ens, s_tr, s_va, key, presence, tr.step, va_sd)
+            return mapped(ens, s_tr, s_va, key, presence, tr.step)
 
         return step
 
@@ -320,7 +328,13 @@ class Mart(LTRAlgorithm):
         metric: Optional[Metric] = None,
         verbose: bool = True,
         mesh: Optional[Mesh] = None,
+        warm_start: bool = False,
     ) -> dict:
+        """Train.  With ``warm_start`` and a non-empty ensemble, training
+        resumes from iteration ``len(ensemble)`` after a full rescoring pass
+        — the reference's --restart-train semantics (mart.cc:237-253,
+        ltr_algorithm_factory.cc:250-258); also used by MetaCleaver's
+        grow-k-trees loop (meta_cleaver.cc:170-179)."""
         metric = metric or self.default_metric()
         t_init = time.time()
         num_shards = mesh.devices.size if mesh is not None else 1
@@ -347,6 +361,16 @@ class Mart(LTRAlgorithm):
             if va is not None
             else jnp.zeros((1,), jnp.float32)
         )
+        start_iter = 0
+        if warm_start and self.ensemble is not None and int(
+            self.ensemble.num_trees
+        ) > 0:
+            ens = _copy_into(ens, self.ensemble)
+            start_iter = int(ens.num_trees)
+            md = self._descend_depth()
+            scores_tr = rescore_binned(ens, tr.step, md)
+            if va is not None:
+                scores_va = rescore_binned(ens, va.step, md)
         self._post_init(tr)
         step = self._make_step(tr, va, metric, mesh)
         init_time = time.time() - t_init
@@ -358,10 +382,14 @@ class Mart(LTRAlgorithm):
             print(f"# {self.NAME}: {self!r}")
             print("# iter. training validation")
         t_train = time.time()
-        for m in range(self.ntrees):
+        presence = tr.step.doc_mask
+        for m in range(start_iter, self.ntrees):
             key = jax.random.fold_in(root_key, m)
+            new_presence = self._update_presence(m, tr, scores_tr, key)
+            if new_presence is not None:
+                presence = new_presence
             ens, scores_tr, scores_va, m_tr, m_va = step(
-                ens, scores_tr, scores_va, key
+                ens, scores_tr, scores_va, key, presence
             )
             m_tr = float(m_tr)
             m_va = float(m_va)
@@ -370,6 +398,9 @@ class Mart(LTRAlgorithm):
             improved = False
             if va is not None and m_va > best_va:
                 best_va, best_it, improved = m_va, m, True
+            elif va is None and m_tr > max(hist_tr[:-1], default=-np.inf):
+                improved = True
+            self._post_iteration(m, improved)
             if verbose and (m < 5 or (m + 1) % 10 == 0 or improved):
                 vtxt = f" {m_va:.6f}" if va is not None else ""
                 print(f"# {m + 1:5d} {m_tr:.6f}{vtxt}{' *' if improved else ''}")
@@ -400,6 +431,14 @@ class Mart(LTRAlgorithm):
 
     def _post_init(self, tr: TrainData) -> None:
         """Subclass hook run once after data prep (e.g. DART bookkeeping)."""
+
+    def _update_presence(self, m: int, tr: TrainData, scores_tr, key):
+        """Subclass hook: per-iteration doc pool (bool [N] or None = keep).
+        Used by the negative-sampling learners (selective/stochastic)."""
+        return None
+
+    def _post_iteration(self, m: int, improved: bool) -> None:
+        """Subclass hook after each boosting iteration (adaptive samplers)."""
 
     # -- inference -----------------------------------------------------------
 
@@ -501,6 +540,45 @@ class Mart(LTRAlgorithm):
             f"nthresholds={self.nthresholds}, esr={self.esr}, "
             f"subsample={self.subsample}, max_features={self.max_features})"
         )
+
+
+def rescore_binned(ens: EnsembleTensors, sd: StepData, max_depth: int):
+    """Full scoring pass over binned docs (used by warm restarts — the
+    reference recomputes scores rather than checkpointing them,
+    mart.cc:237-253)."""
+
+    def body(acc, t):
+        tree = ens.tree(t)
+        d = tree.leaf_value[descend_tree_binned(sd.binned, tree, max_depth)]
+        w = jnp.where(t < ens.num_trees, ens.weight[t], 0.0)
+        return acc + w * d, None
+
+    out, _ = jax.lax.scan(
+        body,
+        jnp.zeros((sd.binned.shape[0],), jnp.float32),
+        jnp.arange(ens.capacity),
+    )
+    return out
+
+
+def _copy_into(dst: EnsembleTensors, src: EnsembleTensors) -> EnsembleTensors:
+    """Copy src's live trees into the head of dst (capacity grow for warm
+    starts; node budgets must match)."""
+    T = int(src.num_trees)
+    assert dst.max_nodes == src.max_nodes, (dst.max_nodes, src.max_nodes)
+    assert dst.capacity >= T, (dst.capacity, T)
+    put = lambda d, s: d.at[:T].set(s[:T])  # noqa: E731
+    return dst.replace(
+        feature=put(dst.feature, src.feature),
+        threshold=put(dst.threshold, src.threshold),
+        threshold_bin=put(dst.threshold_bin, src.threshold_bin),
+        left=put(dst.left, src.left),
+        right=put(dst.right, src.right),
+        is_leaf=put(dst.is_leaf, src.is_leaf),
+        leaf_value=put(dst.leaf_value, src.leaf_value),
+        weight=put(dst.weight, src.weight),
+        num_trees=jnp.asarray(T, jnp.int32),
+    )
 
 
 def _compact(ens: EnsembleTensors) -> EnsembleTensors:

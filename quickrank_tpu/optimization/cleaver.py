@@ -84,6 +84,10 @@ class Cleaver(Optimization):
         self.last_estimators_to_optimize = int(last_estimators_to_optimize)
         self.seed = int(seed)
         self.weights_: Optional[np.ndarray] = None
+        #: MetaCleaver takes control of applying weights (meta_cleaver.cc:163)
+        self.update_model = True
+        self.metric_on_training_: float = float("-inf")
+        self.metric_on_validation_: float = float("-inf")
 
     def is_pre_learning(self) -> bool:
         return False  # post_learning_opt.h:34
@@ -181,10 +185,17 @@ class Cleaver(Optimization):
             weights[keep] = ls.get_weights()
 
         # -- write back (drops zero-weight trees, ensemble.cc:149-192) ------
-        algo.update_weights(weights)
+        if self.update_model:
+            algo.update_weights(weights)
         self.weights_ = weights
 
         m_after = self._metric_of(metric, ptrain, ptrain.features @ weights)
+        self.metric_on_training_ = m_after
+        if pvalid is not None:
+            self.metric_on_validation_ = self._metric_of(
+                metric, pvalid, pvalid.features @ weights
+            )
+            info["metric_after_valid"] = self.metric_on_validation_
         info["metric_after"] = m_after
         info["num_trees_after"] = int(np.sum(weights != 0))
         if verbose:

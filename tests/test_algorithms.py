@@ -1,0 +1,142 @@
+"""Coverage for the remaining algorithm families: RandomForest,
+StochasticNegative, Selective, DART/X-DART, RankBoost, CustomLTR,
+MetaCleaver, warm starts, and the algorithm factory."""
+
+import numpy as np
+import pytest
+
+from quickrank_tpu.learning import (
+    CustomLTR,
+    Dart,
+    LambdaMart,
+    LambdaMartSelective,
+    LineSearch,
+    MetaCleaver,
+    RandomForest,
+    RankBoost,
+    StochasticNegative,
+)
+from quickrank_tpu.learning.base import LTRAlgorithm
+from quickrank_tpu.learning.factory import ltr_algorithm_factory
+from quickrank_tpu.metrics import Ndcg
+from quickrank_tpu.optimization import Cleaver
+
+
+def test_random_forest(splits):
+    train, valid, test = splits
+    rf = RandomForest(
+        ntrees=15, nleaves=8, nthresholds=32, subsample=0.6, max_features=0.5,
+        seed=1,
+    )
+    info = rf.learn(train, valid, Ndcg(10), verbose=False)
+    assert rf.evaluate(test, Ndcg(10)) >= 0.6
+
+
+def test_stochastic_negative(splits):
+    train, valid, _ = splits
+    sn = StochasticNegative(ntrees=12, nleaves=8, nthresholds=32,
+                            subsample=0.3, seed=1)
+    info = sn.learn(train, valid, Ndcg(10), verbose=False)
+    assert info["train"][-1] > info["train"][0]
+
+
+@pytest.mark.parametrize("neg", ["RATIO", "MUL", "POS"])
+def test_selective_strategies(splits, neg):
+    train, valid, _ = splits
+    sel = LambdaMartSelective(
+        ntrees=8, nleaves=8, nthresholds=32, sampling_iterations=2,
+        rank_sampling_factor=0.5, random_sampling_factor=0.2,
+        adaptive_strategy="RATIO", negative_strategy=neg, seed=1,
+    )
+    info = sel.learn(train, valid, Ndcg(10), verbose=False)
+    assert np.isfinite(info["train"][-1])
+
+
+def test_dart_default(splits):
+    train, valid, test = splits
+    d = Dart(ntrees=15, nleaves=8, nthresholds=32, rate_drop=0.15, seed=1)
+    info = d.learn(train, valid, Ndcg(10), verbose=False)
+    assert int(d.ensemble.num_trees) >= 1
+    assert d.evaluate(test, Ndcg(10)) >= 0.55
+
+
+def test_xdart_keep_drop(splits):
+    train, valid, _ = splits
+    d = Dart(
+        ntrees=10, nleaves=8, nthresholds=32, rate_drop=2, keep_drop=True,
+        sample_type="WEIGHTED", normalize_type="LINESEARCH",
+        adaptive_type="PLUSHALF_RESET_LB1_UB5", seed=1,
+    )
+    info = d.learn(train, valid, Ndcg(10), verbose=False)
+    assert np.isfinite(info["train"][-1])
+
+
+def test_dart_xml_roundtrip(tmp_path, splits):
+    train, valid, test = splits
+    d = Dart(ntrees=6, nleaves=8, nthresholds=32, rate_drop=0.2, seed=1)
+    d.learn(train, valid, Ndcg(10), verbose=False)
+    p = str(tmp_path / "dart.xml")
+    d.save(p)
+    d2 = LTRAlgorithm.load(p)
+    np.testing.assert_allclose(
+        d.score_dataset(test), d2.score_dataset(test), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_rankboost(splits):
+    train, valid, test = splits
+    rb = RankBoost(ntrees=25, nthresholds=64, seed=1)
+    info = rb.learn(train, valid, Ndcg(10), verbose=False)
+    assert rb.evaluate(test, Ndcg(10)) >= 0.55
+    # weak rankers are (feature, theta, alpha) triples; scores must be the
+    # alpha-weighted sum of threshold indicators
+    s = rb.score_dataset(test)
+    bits = (test.features[:, rb.features_] > rb.thetas_[None, :]).astype(float)
+    np.testing.assert_allclose(s, bits @ rb.alphas_, rtol=1e-5)
+
+
+def test_custom_ltr(splits):
+    train, valid, _ = splits
+    c = CustomLTR()
+    c.learn(train, valid, Ndcg(10), verbose=False)
+    s = c.score_dataset(train)
+    assert (s == CustomLTR.FIXED_SCORE).all()
+
+
+def test_warm_start_continues(splits):
+    train, _, _ = splits
+    lm = LambdaMart(ntrees=5, nleaves=8, nthresholds=32, seed=1)
+    lm.learn(train, None, Ndcg(10), verbose=False)
+    first = int(lm.ensemble.num_trees)
+    lm.ntrees = 9
+    info = lm.learn(train, None, Ndcg(10), verbose=False, warm_start=True)
+    assert first == 5
+    assert int(lm.ensemble.num_trees) == 9
+    assert len(info["train"]) == 4  # only the new iterations
+
+
+def test_meta_cleaver(splits):
+    train, valid, test = splits
+    algo = LambdaMart(ntrees=8, nleaves=8, nthresholds=32, seed=1)
+    cl = Cleaver(
+        pruning_method="QUALITY_LOSS", pruning_rate=0.5,
+        line_search=LineSearch(max_iterations=3, num_points=10),
+    )
+    mc = MetaCleaver(algo, cl, final_ntrees=12, ntrees_per_iter=6,
+                     pruning_rate_per_iter=0.5, meta_esr=2)
+    info = mc.learn(train, valid, Ndcg(10), verbose=False)
+    assert info["final_size"] <= 12
+    assert mc.evaluate(test, Ndcg(10)) > 0.4
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "MART", "LAMBDAMART", "OBVMART", "OBVLAMBDAMART", "DART",
+        "RANDOMFOREST", "RANKBOOST", "LAMBDAMART-SELECTIVE",
+        "STOCHASTIC-NEGATIVE", "COORDASC", "LINESEARCH", "CUSTOM",
+    ],
+)
+def test_factory_constructs_all(name):
+    a = ltr_algorithm_factory(name, num_trees=5)
+    assert a.NAME == name
