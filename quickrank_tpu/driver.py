@@ -1,0 +1,162 @@
+"""Driver — orchestrates training / optimization / testing / codegen.
+
+TPU-native counterpart of ``Driver::run`` (src/driver/driver.cc:45-226) and
+its phases: build the algorithm (factory, with model-in / restart-train
+handling), load datasets, build metrics, train, run the post-learning
+optimizer, test (with optional scores file and per-tree detailed output),
+and generate standalone scoring code.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+from quickrank_tpu.data.dataset import Dataset, pack_doc_values, shard_and_pad
+from quickrank_tpu.data.svml import read_svml, write_svml
+from quickrank_tpu.learning.base import LTRAlgorithm
+from quickrank_tpu.learning.factory import ltr_algorithm_factory, meta_factory
+from quickrank_tpu.metrics.metrics import metric_factory
+from quickrank_tpu.optimization.factory import optimization_factory
+
+
+def load_dataset(path: str, verbose: bool = True) -> Dataset:
+    """Driver::load_dataset (driver.cc:387-409)."""
+    t0 = time.time()
+    ds = read_svml(path)
+    if verbose:
+        print(
+            f"# reading dataset {path}: {ds.num_docs} docs, "
+            f"{ds.num_queries} queries, {ds.num_features} features "
+            f"({time.time() - t0:.2f} s)"
+        )
+    return ds
+
+
+def run(params: dict) -> dict:
+    """Full pipeline from a flat parameter dict (the pmap equivalent)."""
+    p = params
+    results: dict = {}
+    verbose = not p.get("quiet", False)
+
+    train_metric = metric_factory(
+        p.get("train_metric", "NDCG"), p.get("train_cutoff", 10)
+    )
+    test_metric = metric_factory(
+        p.get("test_metric", "NDCG"), p.get("test_cutoff", 10)
+    )
+
+    rest = {
+        k: v
+        for k, v in p.items()
+        if k not in ("algo", "model_in", "restart_train")
+    }
+    algo = ltr_algorithm_factory(
+        algo=p.get("algo", "LAMBDAMART"),
+        model_in=p.get("model_in"),
+        restart_train=p.get("restart_train", False),
+        **rest,
+    )
+
+    meta_algo = p.get("meta_algo")
+    optimizer = None
+    if p.get("opt_algo") or meta_algo:
+        optimizer = optimization_factory(
+            opt_algo=p.get("opt_algo", "EPRUNING"),
+            opt_method=p.get("opt_method", "QUALITY_LOSS"),
+            pruning_rate=p.get("pruning_rate", 1.0),
+            with_line_search=p.get("with_line_search", False)
+            or bool(p.get("line_search_model")),
+            line_search_kwargs=dict(
+                num_points=p.get("num_samples", 21),
+                window_size=p.get("window_size", 10.0),
+                reduction_factor=p.get("reduction_factor", 0.95),
+                max_iterations=p.get("max_iterations", 100),
+                max_failed_vali=p.get("max_failed_valid", 20),
+                adaptive=p.get("adaptive", False),
+            ),
+            seed=p.get("seed", 0),
+        )
+        if p.get("line_search_model") and optimizer.line_search is not None:
+            loaded_ls = LTRAlgorithm.load(p["line_search_model"])
+            optimizer.line_search = loaded_ls
+
+    if meta_algo:
+        algo = meta_factory(meta_algo, algo, optimizer, **p)
+        optimizer = None  # consumed by the meta algorithm
+
+    # -- datasets ------------------------------------------------------------
+    train = valid = test = None
+    if p.get("train"):
+        train = load_dataset(p["train"], verbose)
+    if p.get("valid"):
+        valid = load_dataset(p["valid"], verbose)
+    if p.get("test"):
+        test = load_dataset(p["test"], verbose)
+
+    # -- training phase (driver.cc:228-246) ----------------------------------
+    if train is not None and not p.get("skip_train", False):
+        kwargs = {}
+        if p.get("partial", 0) and p.get("model_out"):
+            kwargs = dict(
+                partial_save=int(p["partial"]),
+                output_basename=str(p["model_out"]).removesuffix(".xml"),
+            )
+        if p.get("restart_train"):
+            kwargs["warm_start"] = True
+        info = algo.learn(train, valid, train_metric, verbose=verbose, **kwargs)
+        results["training"] = info
+        if p.get("model_out"):
+            algo.save(p["model_out"])
+            if verbose:
+                print(f"# model saved to {p['model_out']}")
+
+    # -- optimization phase (driver.cc:248-324) ------------------------------
+    if optimizer is not None and train is not None:
+        opt_info = optimizer.optimize(
+            algo, train, valid, train_metric, verbose=verbose
+        )
+        results["optimization"] = opt_info
+        if p.get("opt_model_out") or p.get("model_out"):
+            algo.save(p.get("opt_model_out") or p["model_out"])
+
+    # -- testing phase (driver.cc:326-385) -----------------------------------
+    if test is not None:
+        scores = algo.score_dataset(test)
+        padded = shard_and_pad(test)
+        m = float(
+            test_metric.evaluate_dataset(padded, pack_doc_values(padded, scores))
+        )
+        results["test_metric"] = m
+        if verbose:
+            print(f"# {test_metric!r} on test data: {m:.4f}")
+        if p.get("scores"):
+            np.savetxt(p["scores"], scores, fmt="%.15g")
+            if verbose:
+                print(f"# scores saved to {p['scores']}")
+        if p.get("detailed"):
+            # per-tree partial scores as an SVML dataset (driver.cc:336-360)
+            P = algo.partial_scores_dataset(test).astype(np.float32)
+            qids = np.repeat(test.qids, test.docs_per_query())
+            pds = Dataset.from_arrays(P, test.labels, qids)
+            write_svml(pds, p["detailed"])
+            if verbose:
+                print(f"# detailed per-tree scores saved to {p['detailed']}")
+
+    # -- codegen phase (driver.cc:199-223) -----------------------------------
+    if p.get("code_file") and p.get("model_file"):
+        from quickrank_tpu.io import codegen
+
+        generator = p.get("generator", "condop")
+        model = LTRAlgorithm.load(p["model_file"])
+        code = codegen.generate(model, generator)
+        with open(p["code_file"], "w") as f:
+            f.write(code)
+        if verbose:
+            print(f"# {generator} code saved to {p['code_file']}")
+
+    results["algo"] = algo
+    return results

@@ -329,6 +329,8 @@ class Mart(LTRAlgorithm):
         verbose: bool = True,
         mesh: Optional[Mesh] = None,
         warm_start: bool = False,
+        partial_save: int = 0,
+        output_basename: str = "",
     ) -> dict:
         """Train.  With ``warm_start`` and a non-empty ensemble, training
         resumes from iteration ``len(ensemble)`` after a full rescoring pass
@@ -401,6 +403,17 @@ class Mart(LTRAlgorithm):
             elif va is None and m_tr > max(hist_tr[:-1], default=-np.inf):
                 improved = True
             self._post_iteration(m, improved)
+            if (
+                partial_save
+                and output_basename
+                and (m + 1) % partial_save == 0
+            ):
+                # periodic partial model save as <base>.T<iter>.xml
+                # (mart.cc:378-381, suffix logic ltr_algorithm.cc:54-65)
+                snapshot = self.ensemble
+                self.ensemble = _compact(ens)
+                self.save(f"{output_basename}.T{m + 1}.xml")
+                self.ensemble = snapshot
             if verbose and (m < 5 or (m + 1) % 10 == 0 or improved):
                 vtxt = f" {m_va:.6f}" if va is not None else ""
                 print(f"# {m + 1:5d} {m_tr:.6f}{vtxt}{' *' if improved else ''}")

@@ -1,0 +1,61 @@
+"""quickscore-equivalent batch-scoring micro-benchmark.
+
+Counterpart of the reference's ``quickscore`` binary (src/quickscore.cc:
+62-134): loads an SVML dataset and a model, scores every doc ``rounds``
+times, and reports total / per-dataset / per-doc timing.  Instead of a
+compiled-in ``double ranker(float*)``, scoring runs the batched ensemble
+kernels (the oblivious bit-OR fast path when the model is symmetric).
+
+Run: ``python -m quickrank_tpu.quickscore -d data.svml -m model.xml -r 10``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+import jax
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="quickscore-tpu")
+    p.add_argument("-d", "--dataset", required=True, help="SVML test set")
+    p.add_argument("-m", "--model", required=True, help="XML model")
+    p.add_argument("-r", "--rounds", type=int, default=10)
+    p.add_argument("-s", "--scores", help="optional output scores file")
+    args = p.parse_args(argv)
+
+    from quickrank_tpu.data.svml import read_svml
+    from quickrank_tpu.learning.base import LTRAlgorithm
+
+    ds = read_svml(args.dataset)
+    model = LTRAlgorithm.load(args.model)
+    print(
+        f"#\t Dataset size: {ds.num_docs} x {ds.num_features} "
+        f"(instances x features)"
+    )
+    print(
+        f"#\t Num queries: {ds.num_queries} | Avg. len: "
+        f"{ds.num_docs // max(ds.num_queries, 1)}"
+    )
+
+    scores = model.score_dataset(ds)  # warm-up (includes jit compile)
+    t0 = time.perf_counter()
+    for _ in range(args.rounds):
+        scores = model.score_dataset(ds)
+    jax.block_until_ready(scores) if hasattr(scores, "block_until_ready") else None
+    total = time.perf_counter() - t0
+    per_dataset = total / args.rounds
+    per_doc = per_dataset / ds.num_docs
+    print(f"       Total scoring time: {total:.6g} s.")
+    print(f"Avg. Dataset scoring time: {per_dataset:.6g} s.")
+    print(f"Avg.    Doc. scoring time: {per_doc:.6g} s.")
+    if args.scores:
+        np.savetxt(args.scores, scores, fmt="%.15g")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,117 @@
+"""CLI + codegen tests, including a compile-and-compare parity check: the
+generated C scorer must produce the same scores as the in-framework
+kernels (the reference's quickscore workflow, documentation/quickscore.md)."""
+
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from quickrank_tpu.data import write_svml
+from quickrank_tpu.io import codegen
+from quickrank_tpu.learning import LambdaMart, ObliviousMart
+from quickrank_tpu.metrics import Ndcg
+
+
+@pytest.fixture(scope="module")
+def cli_run(tmp_path_factory, splits):
+    d = tmp_path_factory.mktemp("cli")
+    train, valid, test = splits
+    write_svml(train, str(d / "train.svml"))
+    write_svml(valid, str(d / "valid.svml"))
+    write_svml(test, str(d / "test.svml"))
+    from quickrank_tpu.cli import main
+
+    rc = main([
+        "--algo", "LAMBDAMART", "--train", str(d / "train.svml"),
+        "--valid", str(d / "valid.svml"), "--test", str(d / "test.svml"),
+        "--num-trees", "8", "--num-leaves", "8", "--num-thresholds", "32",
+        "--model-out", str(d / "model.xml"), "--scores", str(d / "scores.txt"),
+        "--partial", "0",
+    ])
+    assert rc == 0
+    return d
+
+
+def test_cli_outputs_exist(cli_run):
+    assert (cli_run / "model.xml").exists()
+    assert (cli_run / "scores.txt").exists()
+    scores = np.loadtxt(cli_run / "scores.txt")
+    assert scores.ndim == 1 and len(scores) > 0
+
+
+def _compile_and_score(code: str, X: np.ndarray, tmp, extra_main: str = ""):
+    src = tmp / "ranker.c"
+    src.write_text(
+        code
+        + """
+#include <stdio.h>
+#include <stdlib.h>
+int main(int argc, char** argv) {
+    int n, f;
+    if (scanf("%d %d", &n, &f) != 2) return 1;
+    float *v = malloc(sizeof(float) * f);
+    for (int i = 0; i < n; ++i) {
+        for (int j = 0; j < f; ++j) scanf("%f", &v[j]);
+        printf("%.10g\\n", ranker(v));
+    }
+    return 0;
+}
+"""
+    )
+    exe = tmp / "ranker"
+    subprocess.run(
+        ["gcc", "-O1", "-o", str(exe), str(src), "-lm"], check=True
+    )
+    inp = [f"{X.shape[0]} {X.shape[1]}"]
+    for row in X:
+        inp.append(" ".join(np.format_float_positional(v, unique=True) for v in row))
+    out = subprocess.run(
+        [str(exe)], input="\n".join(inp), capture_output=True, text=True,
+        check=True,
+    )
+    return np.asarray([float(x) for x in out.stdout.split()])
+
+
+def test_condop_codegen_matches_scores(tmp_path, splits):
+    train, valid, test = splits
+    lm = LambdaMart(ntrees=5, nleaves=8, nthresholds=32, seed=1)
+    lm.learn(train, valid, Ndcg(10), verbose=False)
+    code = codegen.generate_condop(lm)
+    X = test.features[:64]
+    got = _compile_and_score(code, X, tmp_path)
+    want = lm.score_dataset(test)[:64]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_oblivious_codegen_matches_scores(tmp_path, splits):
+    train, valid, test = splits
+    om = ObliviousMart(ntrees=5, treedepth=3, nthresholds=32, seed=1)
+    om.learn(train, valid, Ndcg(10), verbose=False)
+    code = codegen.generate_oblivious(om)
+    X = test.features[:64]
+    got = _compile_and_score(code, X, tmp_path)
+    want = om.score_dataset(test)[:64]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
+def test_vpred_format(splits):
+    train, _, _ = splits
+    lm = LambdaMart(ntrees=3, nleaves=4, nthresholds=16, seed=1)
+    lm.learn(train, None, Ndcg(10), verbose=False)  # no valid: keep all trees
+    txt = codegen.generate_vpred(lm)
+    lines = txt.strip().split("\n")
+    assert lines[0] == "3"
+    assert lines[2].startswith("root 0 ")
+    assert txt.count("end\n") + txt.strip().endswith("end") >= 3
+
+
+def test_quickscore_cli(cli_run):
+    from quickrank_tpu.quickscore import main as qs
+
+    rc = qs([
+        "-d", str(cli_run / "test.svml"), "-m", str(cli_run / "model.xml"),
+        "-r", "2",
+    ])
+    assert rc == 0

@@ -107,3 +107,27 @@ def test_gather_scatter_inverse():
     back = scatter_flat(view, padded.pad_index, padded.slot_mask, padded.num_docs_padded)
     back = jnp.where(padded.doc_mask, back, 0.0)
     np.testing.assert_allclose(np.asarray(back), np.asarray(flat), rtol=1e-6)
+
+
+def test_native_svml_parser_matches_numpy(tmp_path, splits):
+    """The C++ parser (native/svml_parser.cc) must agree exactly with the
+    numpy reference parser."""
+    import pytest
+
+    train, _, _ = splits
+    from quickrank_tpu.data import write_svml
+    from quickrank_tpu.data.svml import _read_numpy
+
+    path = str(tmp_path / "t.svml")
+    write_svml(train, path)
+    try:
+        from quickrank_tpu.data import _svml_native
+
+        nat = _svml_native.read(path)
+    except Exception as e:  # pragma: no cover - toolchain missing
+        pytest.skip(f"native parser unavailable: {e}")
+    ref = _read_numpy(path)
+    np.testing.assert_allclose(nat.features, ref.features, rtol=1e-6)
+    np.testing.assert_allclose(nat.labels, ref.labels)
+    np.testing.assert_array_equal(nat.query_offsets, ref.query_offsets)
+    np.testing.assert_array_equal(nat.qids, ref.qids)
