@@ -28,9 +28,8 @@ def log(*a):
 
 
 def main():
-    import jax.numpy as jnp2  # noqa: F401
-
     from quickrank_tpu.ops.oblivious import score_oblivious
+    from quickrank_tpu.ops.pallas_oblivious import score_oblivious_pallas
     from quickrank_tpu.trees.oblivious import ObliviousEnsemble
 
     dev = jax.devices()[0]
@@ -57,8 +56,12 @@ def main():
 
     # Chain rounds through an accumulator so no round can be elided or
     # overlapped — every execution is on the critical path.
+    on_tpu = dev.platform == "tpu"
+
     @jax.jit
     def run(acc):
+        if on_tpu:
+            return acc + score_oblivious_pallas(feats, ens, tree_block=250)
         return acc + score_oblivious(feats, ens, tree_chunk=125)
 
     acc = jnp.zeros((N,), jnp.float32)

@@ -120,6 +120,12 @@ class _ObliviousFit:
     def score_dataset(self, ds, tree_chunk: int = 0) -> np.ndarray:
         obl = self.oblivious_ensemble()
         feats = jnp.asarray(ds.features)
+        import jax
+
+        if jax.devices()[0].platform == "tpu":
+            from quickrank_tpu.ops.pallas_oblivious import score_oblivious_pallas
+
+            return np.asarray(score_oblivious_pallas(feats, obl))
         return np.asarray(score_oblivious(feats, obl, tree_chunk=tree_chunk))
 
 

@@ -127,3 +127,50 @@ def test_obliviouslambdamart_trains(splits):
     info = ol.learn(train, valid, Ndcg(10), verbose=False)
     assert info["train"][-1] > info["train"][0]
     assert info["train"][-1] >= 0.55
+
+
+def test_pallas_scorer_matches_xla(obv_model, splits):
+    """The Pallas fast path (interpret mode on CPU) must agree with the
+    pure-XLA bit-OR scorer."""
+    from quickrank_tpu.ops.pallas_oblivious import score_oblivious_pallas
+
+    _, _, test = splits
+    om, _ = obv_model
+    obl = om.oblivious_ensemble()
+    feats = jnp.asarray(test.features[:256])
+    ref = np.asarray(score_oblivious(feats, obl))
+    got = np.asarray(
+        score_oblivious_pallas(feats, obl, tile_n=128, interpret=True)
+    )
+    np.testing.assert_allclose(ref, got, atol=1e-5)
+
+
+def test_pallas_scorer_threshold_equality(rng):
+    """Feature values exactly equal to thresholds must route left (v <= t),
+    exactly like the reference comparison (rt.cc:330) — checks that the
+    three-way bf16 split reconstruction is bit-exact."""
+    from quickrank_tpu.ops.pallas_oblivious import score_oblivious_pallas
+    from quickrank_tpu.trees.oblivious import ObliviousEnsemble
+
+    F, T, D = 8, 4, 2
+    thr = rng.normal(size=(T, D)).astype(np.float32)
+    fid = rng.integers(0, F, size=(T, D)).astype(np.int32)
+    leaf = rng.normal(size=(T, 4)).astype(np.float32)
+    ens = ObliviousEnsemble(
+        fid=jnp.asarray(fid),
+        thr=jnp.asarray(thr),
+        thr_bin=jnp.zeros((T, D), jnp.int32),
+        leaf=jnp.asarray(leaf),
+        weight=jnp.ones((T,), jnp.float32),
+        num_trees=jnp.asarray(T, jnp.int32),
+    )
+    # craft docs whose selected features EQUAL the thresholds
+    X = rng.normal(size=(16, F)).astype(np.float32)
+    for t in range(T):
+        for d in range(D):
+            X[t * D + d, fid[t, d]] = thr[t, d]
+    ref = np.asarray(score_oblivious(jnp.asarray(X), ens))
+    got = np.asarray(
+        score_oblivious_pallas(jnp.asarray(X), ens, tile_n=128, interpret=True)
+    )
+    np.testing.assert_allclose(ref, got, atol=1e-6)
