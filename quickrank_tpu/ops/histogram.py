@@ -28,6 +28,15 @@ def doc_channels(grad: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([m, grad * m, grad * grad * m], axis=-1)
 
 
+def _on_tpu() -> bool:
+    import jax as _jax
+
+    try:
+        return _jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
 def masked_histogram(
     binned: jnp.ndarray,
     values: jnp.ndarray,
@@ -40,9 +49,25 @@ def masked_histogram(
     binned: i32 ``[N, F]``; values: ``[N, C]``; mask: bool ``[N]``.
     Returns ``[F, B, C]`` float32.
 
-    Implementation: flat scatter-add (one pass over N x F).  Masked docs are
-    routed to a dummy overflow bin that is sliced away.
+    Dispatch: the MXU Pallas kernel on TPU (ops/pallas_histogram.py), the
+    scatter-add fallback elsewhere.
     """
+    if _on_tpu():
+        from quickrank_tpu.ops.pallas_histogram import histogram_pallas
+
+        v = jnp.where(mask[:, None], values, 0.0)
+        return histogram_pallas(binned, v, num_bins)
+    return masked_histogram_scatter(binned, values, mask, num_bins)
+
+
+def masked_histogram_scatter(
+    binned: jnp.ndarray,
+    values: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_bins: int,
+) -> jnp.ndarray:
+    """Scatter-add implementation (one pass over N x F).  Masked docs are
+    routed to a dummy overflow bin that is sliced away."""
     N, F = binned.shape
     C = values.shape[-1]
     # Masked docs go to an extra trash bin per feature.
@@ -67,10 +92,37 @@ def node_histograms(
 ) -> jnp.ndarray:
     """Histograms for every node at once: ``[num_nodes, F, B, C]``.
 
-    One scatter-add keyed by (node, feature, bin) — the batched equivalent of
-    building an RTNodeHistogram per fringe node (rtnode_histogram.cc:41-70).
-    Docs with node id outside [0, num_nodes) or masked out contribute nothing.
+    The batched equivalent of building an RTNodeHistogram per fringe node
+    (rtnode_histogram.cc:41-70).  Docs with node id outside [0, num_nodes)
+    or masked out contribute nothing.  On TPU this runs the MXU kernel once
+    per node (a static sweep); elsewhere one flat scatter-add.
     """
+    if _on_tpu():
+        from quickrank_tpu.ops.pallas_histogram import histogram_pallas
+
+        outs = []
+        for n in range(num_nodes):
+            m = doc_mask & (node_of_doc == n)
+            outs.append(
+                histogram_pallas(
+                    binned, jnp.where(m[:, None], values, 0.0), num_bins
+                )
+            )
+        return jnp.stack(outs, axis=0)
+    return node_histograms_scatter(
+        binned, values, node_of_doc, doc_mask, num_nodes, num_bins
+    )
+
+
+def node_histograms_scatter(
+    binned: jnp.ndarray,
+    values: jnp.ndarray,
+    node_of_doc: jnp.ndarray,
+    doc_mask: jnp.ndarray,
+    num_nodes: int,
+    num_bins: int,
+) -> jnp.ndarray:
+    """Scatter-add implementation keyed by (node, feature, bin)."""
     N, F = binned.shape
     C = values.shape[-1]
     ok = doc_mask & (node_of_doc >= 0) & (node_of_doc < num_nodes)

@@ -1,0 +1,119 @@
+"""Pallas TPU kernel for split-statistics histograms.
+
+The pure-XLA path (ops/histogram.py) lowers the (feature, bin) scatter-add
+to a sort-based scatter — the dominant cost of a boosting iteration on TPU.
+This kernel reformulates the histogram as a matmul so it runs on the MXU:
+
+    hist[c, f*B + b] = sum_n chan[n, c] * onehot(binned[n, f] == b)
+
+i.e. contract the [C, TILE] channel block against a [TILE, G*B] one-hot
+block (G features at a time), accumulating into a VMEM-resident [C, F*B]
+output across doc tiles.  The channel axis (count, grad, grad^2, padded to
+8 sublanes) is the M dimension and G*B (512+ lanes) the N dimension, so MXU
+utilization is high.  Channel values are split hi+lo into two bf16 planes so
+the f32 sums are reproduced to ~2^-16 relative — far below the gain-scan
+noise floor.
+
+Replaces the shared-memory accumulation loops of rtnode_histogram.cc:41-70
+on the TPU path; ops/histogram.py dispatches here on TPU devices.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+CH_PAD = 8  # channel rows padded to one sublane tile
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(binned_ref, chan_ref, out_ref, *, F, Bp, G, tile_n):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # hi+lo bf16 split inside the kernel (outside, XLA's excess-precision
+    # folding can elide the rounding and silently drop the lo plane).
+    v = chan_ref[:]
+    hi32 = v.astype(jnp.bfloat16).astype(jnp.float32)
+    hi = hi32.astype(jnp.bfloat16)
+    lo = (v - hi32).astype(jnp.bfloat16)
+
+    # pltpu.repeat is a TILE repeat ([a b] -> [a b a b ...]), so column
+    # col of the repeated block holds feature (col % G) at bin (col // G).
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, G * Bp), 1)
+    bin_of_col = col // G
+    for g0 in range(0, F, G):  # F is pre-padded to a multiple of G
+        chunk = binned_ref[:, g0 : g0 + G]  # [TILE, G]
+        rep = pltpu.repeat(chunk, Bp, axis=1)  # [TILE, G*Bp]
+        oh = (rep == bin_of_col).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            hi, oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            lo, oh,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [CH_PAD, G*Bp]
+        out_ref[:, g0 * Bp : g0 * Bp + G * Bp] += part
+
+
+@partial(jax.jit, static_argnames=("num_bins", "tile_n", "feat_group"))
+def histogram_pallas(
+    binned: jnp.ndarray,
+    values: jnp.ndarray,
+    num_bins: int,
+    tile_n: int = 512,
+    feat_group: int = 8,
+) -> jnp.ndarray:
+    """hist[f, b, c] = sum_n values[n, c] [binned[n, f] == b]  ->  [F, B, C].
+
+    ``values`` must already be masked (zero rows contribute nothing); padding
+    docs added for tiling carry zero values.
+    """
+    N, F = binned.shape
+    C = values.shape[-1]
+    Bp = _round_up(num_bins, LANES)
+    n_pad = _round_up(max(N, tile_n), tile_n)
+    if n_pad != N:
+        binned = jnp.pad(binned, ((0, n_pad - N), (0, 0)), constant_values=-1)
+        values = jnp.pad(values, ((0, n_pad - N), (0, 0)))
+
+    v = values.astype(jnp.float32)
+    vp = jnp.pad(v, ((0, 0), (0, CH_PAD - C)))
+
+    # Feature-group G such that G*Bp lanes stay MXU-friendly but VMEM-light.
+    G = feat_group
+    grid = (n_pad // tile_n,)
+    Fp = _round_up(F, G)
+    if Fp != F:
+        # pad feature axis with bin id -1 (never matches any one-hot column)
+        binned = jnp.pad(binned, ((0, 0), (0, Fp - F)), constant_values=-1)
+
+    out = pl.pallas_call(
+        partial(_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n),
+        out_shape=jax.ShapeDtypeStruct((CH_PAD, Fp * Bp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, Fp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, CH_PAD), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (CH_PAD, Fp * Bp), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )(binned, vp)
+    # out column layout per G-group: col = b * G + g  (tile-repeat order)
+    # [CH_PAD, Fp*Bp] -> [C, n_groups, Bp, G] -> [C, n_groups, G, Bp]
+    hist = out[:C].reshape(C, Fp // G, Bp, G)
+    hist = jnp.swapaxes(hist, 2, 3).reshape(C, Fp, Bp)[:, :F, :num_bins]
+    return jnp.moveaxis(hist, 0, -1)

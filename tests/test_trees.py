@@ -176,3 +176,69 @@ def test_feature_sampling_runs(small_problem):
         key=jax.random.PRNGKey(3),
     )
     assert int(tree.n_nodes) > 1
+
+
+def test_pallas_histogram_matches_scatter(small_problem):
+    """MXU histogram kernel (interpret mode on CPU) must match the
+    scatter-add reference."""
+    from quickrank_tpu.ops.histogram import masked_histogram_scatter
+    from quickrank_tpu.ops import pallas_histogram as ph
+
+    X, y = small_problem
+    b = bin_dataset(X, nthresholds=16)
+    mask = np.zeros(X.shape[0], bool)
+    mask[::2] = True
+    chan = doc_channels(jnp.asarray(y), jnp.asarray(mask))
+    ref = np.asarray(
+        masked_histogram_scatter(
+            jnp.asarray(b.binned), chan, jnp.asarray(mask), b.num_bins
+        )
+    )
+    # run the pallas kernel in interpreter mode on CPU
+    got = np.asarray(
+        _hist_interpret(
+            jnp.asarray(b.binned),
+            jnp.where(jnp.asarray(mask)[:, None], chan, 0.0),
+            b.num_bins,
+        )
+    )
+    np.testing.assert_allclose(ref[..., 0], got[..., 0], atol=1e-5)
+    np.testing.assert_allclose(ref[..., 1], got[..., 1], rtol=2e-4, atol=1e-4)
+
+
+def _hist_interpret(binned, values, num_bins):
+    """histogram_pallas with interpret=True (CPU test path)."""
+    from functools import partial as _p
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from quickrank_tpu.ops import pallas_histogram as ph
+
+    # replicate the wrapper with interpret mode
+    N, F = binned.shape
+    C = values.shape[-1]
+    Bp = ph._round_up(num_bins, ph.LANES)
+    tile_n = 128
+    n_pad = ph._round_up(max(N, tile_n), tile_n)
+    binned = jnp.pad(binned, ((0, n_pad - N), (0, 0)), constant_values=-1)
+    values = jnp.pad(values, ((0, n_pad - N), (0, 0)))
+    vp = jnp.pad(values.astype(jnp.float32), ((0, 0), (0, ph.CH_PAD - C)))
+    G = 4
+    Fp = ph._round_up(F, G)
+    if Fp != F:
+        binned = jnp.pad(binned, ((0, 0), (0, Fp - F)), constant_values=-1)
+    out = pl.pallas_call(
+        _p(ph._kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n),
+        out_shape=jax.ShapeDtypeStruct((ph.CH_PAD, Fp * Bp), jnp.float32),
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, Fp), lambda i: (i, 0)),
+            pl.BlockSpec((tile_n, ph.CH_PAD), lambda i: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((ph.CH_PAD, Fp * Bp), lambda i: (0, 0)),
+        interpret=True,
+    )(binned, vp)
+    hist = out[:C].reshape(C, Fp // G, Bp, G)
+    hist = jnp.swapaxes(hist, 2, 3).reshape(C, Fp, Bp)[:, :F, :num_bins]
+    return jnp.moveaxis(hist, 0, -1)
