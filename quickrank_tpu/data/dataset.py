@@ -189,8 +189,14 @@ def shard_and_pad(
     num_shards: int = 1,
     max_docs: Optional[int] = None,
     doc_align: int = 8,
+    features_on_device: bool = True,
 ) -> PaddedDataset:
-    """Lay the host dataset out in the static sharded format above."""
+    """Lay the host dataset out in the static sharded format above.
+
+    ``features_on_device=False`` keeps the (large) feature matrix as a host
+    numpy array — tree training reads only the binned tensor, and skipping
+    the f32 transfer matters when the accelerator sits behind a slow link.
+    """
     counts = ds.docs_per_query()
     if len(counts) < num_shards:
         raise ValueError(
@@ -235,7 +241,7 @@ def shard_and_pad(
             row += n
 
     return PaddedDataset(
-        features=jnp.asarray(features),
+        features=jnp.asarray(features) if features_on_device else features,
         labels=jnp.asarray(labels),
         doc_mask=jnp.asarray(doc_mask),
         pad_index=jnp.asarray(pad_index),

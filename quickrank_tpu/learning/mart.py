@@ -99,14 +99,24 @@ class TrainData:
         num_shards: int = 1,
         thresholds: Optional[np.ndarray] = None,
     ) -> "TrainData":
-        padded = shard_and_pad(ds, num_shards=num_shards)
+        # Tree training never reads raw features on device — keep them on
+        # host and ship only the (u8-packed) binned tensor, which matters
+        # when the chip is behind a slow transfer link.
+        padded = shard_and_pad(ds, num_shards=num_shards, features_on_device=False)
         if thresholds is None:
             thresholds, _ = build_thresholds(ds.features, nthresholds)
         else:
             thresholds = np.asarray(thresholds)
         binned = apply_bins(np.asarray(padded.features), thresholds)
+        B = thresholds.shape[1]
+        if B <= 256:
+            wire = binned.astype(np.uint8)
+        elif B <= 65536:
+            wire = binned.astype(np.uint16)
+        else:
+            wire = binned
         sd = StepData(
-            binned=jnp.asarray(binned),
+            binned=jnp.asarray(wire).astype(jnp.int32),
             labels=padded.labels,
             doc_mask=padded.doc_mask,
             pad_index=padded.pad_index,

@@ -35,6 +35,26 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(devs, (axis,))
 
 
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Mesh:
+    """Multi-host initialization: start the jax.distributed runtime (ICI
+    within a slice, DCN across hosts) and return the global data mesh.
+
+    This is the framework's whole "communication backend" — the collectives
+    themselves are the standard XLA psum/all-gather inserted by shard_map
+    (SURVEY.md §2.9/§5: no custom transport needed).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return make_mesh()
+
+
 def step_data_specs(sd, axis: str = DATA_AXIS):
     """PartitionSpec pytree for a :class:`~quickrank_tpu.learning.mart.StepData`:
     every doc/query-axis array sharded on axis 0, threshold table replicated."""

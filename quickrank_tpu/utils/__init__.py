@@ -1,0 +1,3 @@
+from quickrank_tpu.utils.profiling import phase_timer, trace
+
+__all__ = ["phase_timer", "trace"]
