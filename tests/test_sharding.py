@@ -46,3 +46,32 @@ def test_sharded_model_scores_match(small_splits):
     s1 = m1.score_dataset(test)
     s8 = m8.score_dataset(test)
     np.testing.assert_allclose(s1, s8, atol=1e-4)
+
+
+def test_sharded_oblivious_matches_single_device(small_splits):
+    from quickrank_tpu.learning import ObliviousLambdaMart
+
+    train, valid, _ = small_splits
+    a1 = ObliviousLambdaMart(ntrees=6, treedepth=3, nthresholds=32, seed=1)
+    i1 = a1.learn(train, valid, Ndcg(10), verbose=False)
+    a4 = ObliviousLambdaMart(ntrees=6, treedepth=3, nthresholds=32, seed=1)
+    i4 = a4.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh(4))
+    np.testing.assert_allclose(i1["train"], i4["train"], atol=1e-2)
+
+
+def test_sampling_learners_run_sharded(small_splits):
+    """Selective / stochastic-negative presence masks must compose with the
+    sharded step (global-index sampling feeding shard-local execution)."""
+    from quickrank_tpu.learning import LambdaMartSelective, StochasticNegative
+
+    train, valid, _ = small_splits
+    sn = StochasticNegative(ntrees=4, nleaves=4, nthresholds=16,
+                            subsample=0.5, seed=2)
+    info = sn.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh(4))
+    assert np.isfinite(info["train"][-1])
+    sel = LambdaMartSelective(
+        ntrees=4, nleaves=4, nthresholds=16, sampling_iterations=2,
+        rank_sampling_factor=0.5, seed=2,
+    )
+    info = sel.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh(4))
+    assert np.isfinite(info["train"][-1])
