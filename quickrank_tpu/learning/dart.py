@@ -128,7 +128,7 @@ class Dart(LambdaMart):
                 tr.step.binned, grad, smask, tr.step.thresholds, cfg, key=k3
             )
             tree = leaf_outputs(tree, node, grad, smask, weights=w)
-            d_tr = tree.leaf_value[descend_tree_binned(tr.step.binned, tree, md)]
+            d_tr = tree.leaf_value[jnp.maximum(node, 0)]
             contribution = jnp.sum(jnp.abs(d_tr) * tr.step.doc_mask) / n_real
             if va is None:
                 d_va = jnp.zeros((1,), jnp.float32)

@@ -98,6 +98,7 @@ class TrainData:
         nthresholds: int,
         num_shards: int = 1,
         thresholds: Optional[np.ndarray] = None,
+        num_feat_shards: int = 1,
     ) -> "TrainData":
         # Tree training never reads raw features on device — keep them on
         # host and ship only the (u8-packed) binned tensor, which matters
@@ -108,6 +109,19 @@ class TrainData:
         else:
             thresholds = np.asarray(thresholds)
         binned = apply_bins(np.asarray(padded.features), thresholds)
+        if num_feat_shards > 1:
+            # pad the feature axis to an even per-shard block; pad features
+            # bin every doc to 0 and carry +inf thresholds, so any split on
+            # them sends everything left (rcount=0 -> never chosen)
+            F = binned.shape[1]
+            Fp = ((F + num_feat_shards - 1) // num_feat_shards) * num_feat_shards
+            if Fp != F:
+                binned = np.pad(binned, ((0, 0), (0, Fp - F)))
+                thresholds = np.pad(
+                    thresholds,
+                    ((0, Fp - F), (0, 0)),
+                    constant_values=np.float32(3.4028235e38),
+                )
         B = thresholds.shape[1]
         if B <= 256:
             wire = binned.astype(np.uint8)
@@ -175,13 +189,20 @@ class Mart(LTRAlgorithm):
         (mart.cc:418-431)."""
         return (sd.labels - scores).astype(jnp.float32), None
 
-    def _grow_config(self, num_bins: int) -> GrowConfig:
+    def _grow_config(
+        self,
+        num_bins: int,
+        feat_axis: Optional[str] = None,
+        feat_axis_size: int = 1,
+    ) -> GrowConfig:
         return GrowConfig(
             nleaves=self.nleaves,
             min_leaf_support=self.minleafsupport,
             num_bins=num_bins,
             max_features=self.max_features,
             newton=self._newton,
+            feat_axis=feat_axis,
+            feat_axis_size=feat_axis_size,
         )
 
     def _tree_weight(self) -> float:
@@ -250,7 +271,10 @@ class Mart(LTRAlgorithm):
             axis_name=axis_name,
         )
         ens2 = ens.push(tree, shrinkage)
-        d_tr = tree.leaf_value[descend_tree_binned(tr.binned, tree, md)]
+        # every doc is routed during the fit, so the train update is a pure
+        # leaf-value gather — no descent pass (and it stays correct under
+        # feature sharding, where local binned blocks can't be descended)
+        d_tr = tree.leaf_value[jnp.maximum(node, 0)]
         s_tr = scores_tr + shrinkage * d_tr
         m_tr = eval_metric(metric, tr, s_tr, axis_name)
         if va is None:
@@ -267,10 +291,11 @@ class Mart(LTRAlgorithm):
         metric: Metric,
         mesh: Optional[Mesh],
     ):
-        cfg = self._grow_config(tr.num_bins)
         va_sd = va.step if va is not None else None
 
         if mesh is None:
+            cfg = self._grow_config(tr.num_bins)
+
             def step(ens, s_tr, s_va, key, presence):
                 return self._step_body(
                     ens, s_tr, s_va, key, presence, tr.step, va_sd, metric,
@@ -280,7 +305,12 @@ class Mart(LTRAlgorithm):
             return jax.jit(step, donate_argnums=(0, 1, 2))
 
         axis = mesh.axis_names[0]
-        sd_specs = step_data_specs(tr.step, axis)
+        feat_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+        feat_size = int(mesh.shape[feat_axis]) if feat_axis else 1
+        cfg = self._grow_config(tr.num_bins, feat_axis, feat_size)
+        sd_specs = step_data_specs(tr.step, axis, feat_axis)
+        # valid split stays feature-replicated (its scoring descends trees
+        # with global feature ids)
         va_specs = step_data_specs(va_sd, axis) if va_sd is not None else None
         rep = P()
         ens_specs = jax.tree.map(lambda _: rep, EnsembleTensors.empty(1, 1))
@@ -349,22 +379,40 @@ class Mart(LTRAlgorithm):
         grow-k-trees loop (meta_cleaver.cc:170-179)."""
         metric = metric or self.default_metric()
         t_init = time.time()
-        num_shards = mesh.devices.size if mesh is not None else 1
-        tr = TrainData.build(train, self.nthresholds, num_shards=num_shards)
+        if mesh is not None:
+            axis = mesh.axis_names[0]
+            feat_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+            num_shards = int(mesh.shape[axis])
+            num_feat_shards = int(mesh.shape[feat_axis]) if feat_axis else 1
+        else:
+            feat_axis = None
+            num_shards, num_feat_shards = 1, 1
+        tr = TrainData.build(
+            train,
+            self.nthresholds,
+            num_shards=num_shards,
+            num_feat_shards=num_feat_shards,
+        )
         va = (
             TrainData.build(
                 valid,
                 self.nthresholds,
                 num_shards=num_shards,
-                thresholds=np.asarray(tr.step.thresholds),
+                # valid thresholds stay unpadded/replicated: its descent
+                # scoring uses global feature ids over the full matrix
+                thresholds=np.asarray(tr.step.thresholds)[: valid.num_features],
             )
             if valid is not None
             else None
         )
         if mesh is not None:
-            tr = dataclasses.replace(tr, step=shard_step_data(tr.step, mesh))
+            tr = dataclasses.replace(
+                tr, step=shard_step_data(tr.step, mesh, axis, feat_axis)
+            )
             if va is not None:
-                va = dataclasses.replace(va, step=shard_step_data(va.step, mesh))
+                va = dataclasses.replace(
+                    va, step=shard_step_data(va.step, mesh, axis)
+                )
         cfg = self._grow_config(tr.num_bins)
         ens = EnsembleTensors.empty(self.ntrees, cfg.max_nodes)
         scores_tr = jnp.zeros((tr.padded.num_docs_padded,), jnp.float32)
@@ -374,6 +422,10 @@ class Mart(LTRAlgorithm):
             else jnp.zeros((1,), jnp.float32)
         )
         start_iter = 0
+        if warm_start and feat_axis is not None:
+            raise NotImplementedError(
+                "warm start under feature-axis sharding not supported"
+            )
         if warm_start and self.ensemble is not None and int(
             self.ensemble.num_trees
         ) > 0:

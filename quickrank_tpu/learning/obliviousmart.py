@@ -51,6 +51,11 @@ class _ObliviousFit:
         return kw
 
     def _fit_and_assign(self, tr: StepData, grad, smask, cfg, key, axis_name):
+        if cfg.feat_axis is not None:
+            raise NotImplementedError(
+                "oblivious trees: feature-axis sharding not wired yet "
+                "(use a 1-D data mesh)"
+            )
         fid, thr, tbin, leafidx = fit_oblivious_tree(
             tr.binned,
             grad,
@@ -63,8 +68,9 @@ class _ObliviousFit:
         L = 2**self.treedepth
         tree = oblivious_to_tree(fid, thr, tbin, jnp.zeros((L,), jnp.float32))
         # Leaf node ids in the perfect-tree layout: internal nodes occupy
-        # [0, L-1), leaves are (L-1) + leafidx.
-        node = jnp.where(smask, (L - 1) + leafidx, -1).astype(jnp.int32)
+        # [0, L-1), leaves are (L-1) + leafidx.  Every doc is routed; the
+        # sample mask only gates statistics.
+        node = ((L - 1) + leafidx).astype(jnp.int32)
         return tree, node
 
     # -- fast inference ------------------------------------------------------

@@ -25,6 +25,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+FEAT_AXIS = "feat"
 
 
 def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
@@ -33,6 +34,20 @@ def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     if num_devices is not None:
         devs = devs[:num_devices]
     return Mesh(devs, (axis,))
+
+
+def make_mesh_2d(
+    data: int,
+    feat: int,
+    axes: tuple = (DATA_AXIS, FEAT_AXIS),
+) -> Mesh:
+    """2-D mesh: queries sharded over ``data``, the feature axis of the
+    histogram/split scan over ``feat`` (mirrors the per-feature OpenMP loop
+    of rt.cc:257-292 as a second mesh dimension)."""
+    import numpy as np
+
+    devs = np.asarray(jax.devices()[: data * feat]).reshape(data, feat)
+    return Mesh(devs, axes)
 
 
 def init_distributed(
@@ -55,24 +70,27 @@ def init_distributed(
     return make_mesh()
 
 
-def step_data_specs(sd, axis: str = DATA_AXIS):
+def step_data_specs(sd, axis: str = DATA_AXIS, feat_axis: Optional[str] = None):
     """PartitionSpec pytree for a :class:`~quickrank_tpu.learning.mart.StepData`:
-    every doc/query-axis array sharded on axis 0, threshold table replicated."""
+    every doc/query-axis array sharded on ``axis``; with ``feat_axis`` the
+    binned matrix and threshold table are additionally feature-sharded."""
     return sd.replace(
-        binned=P(axis, None),
+        binned=P(axis, feat_axis),
         labels=P(axis),
         doc_mask=P(axis),
         pad_index=P(axis, None),
         slot_mask=P(axis, None),
         query_mask=P(axis),
         nvalid=P(axis),
-        thresholds=P(None, None),
+        thresholds=P(feat_axis, None),
     )
 
 
-def shard_step_data(sd, mesh: Mesh, axis: str = DATA_AXIS):
+def shard_step_data(
+    sd, mesh: Mesh, axis: str = DATA_AXIS, feat_axis: Optional[str] = None
+):
     """Place a StepData's arrays on the mesh with the specs above."""
-    specs = step_data_specs(sd, axis)
+    specs = step_data_specs(sd, axis, feat_axis)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), sd, specs
     )

@@ -45,6 +45,11 @@ class GrowConfig:
     num_bins: int = 256
     max_features: float = 1.0  # 1.0 = all; <1 fraction; >1 count (rt.cc:222-233)
     newton: bool = False  # leaf = sum(g)/sum(w) instead of mean(g)
+    #: feature-axis sharding (the "tensor parallel" analog, SURVEY.md §2.9):
+    #: the histogram/split scan works on a local F/k feature block and the
+    #: best split is resolved by a tiny all_gather of per-shard candidates.
+    feat_axis: str | None = None
+    feat_axis_size: int = 1
 
     @property
     def max_nodes(self) -> int:
@@ -134,12 +139,23 @@ def fit_tree(
     thresholds: f32 [F, B] split values per bin.
 
     Returns (tree *without* leaf values — see :func:`leaf_outputs`,
-    node_of_doc i32 [N] leaf assignment).
+    node_of_doc i32 [N] leaf assignment).  EVERY doc is routed (also masked
+    ones — they just contribute nothing to statistics), so the caller can
+    update training scores from ``leaf_value[node_of_doc]`` without a
+    descent pass.
+
+    Sharding: ``axis_name`` = doc/query axis (histograms psum-reduced);
+    ``cfg.feat_axis`` = optional feature axis (binned/thresholds hold the
+    local F/k block; split decisions resolved via a per-shard candidate
+    all_gather; doc routing bits come from the owning shard via psum).
+    Feature ids recorded in the tree are always GLOBAL.
     """
-    N, F = binned.shape
+    N, F = binned.shape  # F is the LOCAL block when feat-sharded
     B = cfg.num_bins
     max_nodes = cfg.max_nodes
     minls = cfg.min_leaf_support
+    feat_axis = cfg.feat_axis
+    F_global = F * cfg.feat_axis_size
     if key is None:
         key = jax.random.PRNGKey(0)
 
@@ -160,7 +176,7 @@ def fit_tree(
 
     state = _GrowState(
         tree=Tree.empty(max_nodes),
-        node_of_doc=jnp.where(doc_mask, 0, -1).astype(jnp.int32),
+        node_of_doc=jnp.zeros((N,), jnp.int32),
         hist=hist,
         deviance=deviance,
         active=active,
@@ -170,7 +186,7 @@ def fit_tree(
         key=key,
     )
 
-    nfs = cfg.num_feature_samples(F)
+    nfs = cfg.num_feature_samples(F_global)
 
     def cond(s: _GrowState):
         heap = s.active & ~s.frozen
@@ -181,19 +197,57 @@ def fit_tree(
         heap = s.active & ~s.frozen
         leaf = jnp.argmax(jnp.where(heap, s.deviance, NEG_INF)).astype(jnp.int32)
         key, sub = jax.random.split(s.key)
-        feat_mask = _feature_sample_mask(sub, F, nfs)
+        # global sampling mask (same key on every shard), local slice
+        feat_mask_g = _feature_sample_mask(sub, F_global, nfs)
+        if feat_axis is None:
+            feat_mask = feat_mask_g
+        else:
+            shard = jax.lax.axis_index(feat_axis)
+            feat_mask = jax.lax.dynamic_slice(feat_mask_g, (shard * F,), (F,))
         h_leaf = s.hist[leaf]
-        has_split, f_star, t_star, _ = _best_split(h_leaf, feat_mask, minls)
+        if feat_axis is None:
+            has_split, f_star, t_star, _ = _best_split(h_leaf, feat_mask, minls)
+        else:
+            # local candidate -> tiny all_gather -> replicated global argmax
+            has_l, f_l, t_l, g_l = _best_split(h_leaf, feat_mask, minls)
+            shard = jax.lax.axis_index(feat_axis)
+            cand = jnp.stack(
+                [
+                    jnp.where(has_l, g_l, NEG_INF),
+                    (shard * F + f_l).astype(jnp.float32),
+                    t_l.astype(jnp.float32),
+                ]
+            )
+            allc = jax.lax.all_gather(cand, feat_axis)  # [k, 3]
+            bidx = jnp.argmax(allc[:, 0])
+            has_split = jnp.isfinite(allc[bidx, 0])
+            f_star = allc[bidx, 1].astype(jnp.int32)  # GLOBAL feature id
+            t_star = allc[bidx, 2].astype(jnp.int32)
         can_split = has_split & (s.deviance[leaf] > 0)
 
         def do_split(s: _GrowState) -> _GrowState:
             a = s.n_nodes
             b = s.n_nodes + 1
-            fcol = jax.lax.dynamic_index_in_dim(
-                binned, f_star, axis=1, keepdims=False
-            )
+            if feat_axis is None:
+                fcol = jax.lax.dynamic_index_in_dim(
+                    binned, f_star, axis=1, keepdims=False
+                )
+                goes_left = fcol <= t_star
+                thr_val = thresholds[f_star, t_star]
+            else:
+                # the owning feature shard broadcasts routing bits + value
+                shard = jax.lax.axis_index(feat_axis)
+                owns = (f_star // F) == shard
+                fl = jnp.where(owns, f_star % F, 0)
+                col = jax.lax.dynamic_index_in_dim(
+                    binned, fl, axis=1, keepdims=False
+                )
+                bit = ((col <= t_star) & owns).astype(jnp.int32)
+                goes_left = jax.lax.psum(bit, feat_axis) > 0
+                thr_val = jax.lax.psum(
+                    jnp.where(owns, thresholds[fl, t_star], 0.0), feat_axis
+                )
             in_leaf = s.node_of_doc == leaf
-            goes_left = fcol <= t_star
             node_of_doc = jnp.where(
                 in_leaf, jnp.where(goes_left, a, b), s.node_of_doc
             ).astype(jnp.int32)
@@ -203,9 +257,7 @@ def fit_tree(
             cb, sb, s2b = _node_stats(right_hist)
             tree = s.tree.replace(
                 feature=s.tree.feature.at[leaf].set(f_star),
-                threshold=s.tree.threshold.at[leaf].set(
-                    thresholds[f_star, t_star]
-                ),
+                threshold=s.tree.threshold.at[leaf].set(thr_val),
                 threshold_bin=s.tree.threshold_bin.at[leaf].set(t_star),
                 left=s.tree.left.at[leaf].set(a),
                 right=s.tree.right.at[leaf].set(b),

@@ -75,3 +75,18 @@ def test_sampling_learners_run_sharded(small_splits):
     )
     info = sel.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh(4))
     assert np.isfinite(info["train"][-1])
+
+
+def test_2d_mesh_matches_single_device(small_splits):
+    """data x feature mesh must reproduce single-device training exactly
+    (split decisions are derived from reduced histograms + gathered
+    candidates only)."""
+    from quickrank_tpu.parallel.mesh import make_mesh_2d
+
+    train, valid, _ = small_splits
+    m1 = Mart(ntrees=8, nleaves=8, nthresholds=32, seed=1)
+    i1 = m1.learn(train, valid, Ndcg(10), verbose=False)
+    m2 = Mart(ntrees=8, nleaves=8, nthresholds=32, seed=1)
+    i2 = m2.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh_2d(2, 4))
+    np.testing.assert_allclose(i1["train"], i2["train"], atol=1e-6)
+    np.testing.assert_allclose(i1["valid"], i2["valid"], atol=1e-6)

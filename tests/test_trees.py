@@ -120,6 +120,9 @@ def test_nleaves_budget(small_problem):
 
 
 def test_doc_mask_excludes_docs(small_problem):
+    """Masked docs are ROUTED (so score updates are a pure leaf gather) but
+    must not influence the tree: fitting with a mask must build the same
+    structure as fitting on the kept subset alone."""
     X, y = small_problem
     b = bin_dataset(X, nthresholds=32)
     cfg = GrowConfig(nleaves=4, min_leaf_support=1, num_bins=b.num_bins)
@@ -133,8 +136,19 @@ def test_doc_mask_excludes_docs(small_problem):
         cfg,
     )
     node = np.asarray(node)
-    assert (node[~mask] == -1).all()
-    assert (node[mask] >= 0).all()
+    assert (node >= 0).all()  # every doc routed
+    # same tree from the kept subset only (same binning)
+    tree2, _ = fit_tree(
+        jnp.asarray(b.binned[mask]),
+        jnp.asarray(y[mask]),
+        jnp.ones(int(mask.sum()), bool),
+        jnp.asarray(b.thresholds),
+        cfg,
+    )
+    np.testing.assert_array_equal(np.asarray(tree.feature), np.asarray(tree2.feature))
+    np.testing.assert_array_equal(
+        np.asarray(tree.threshold_bin), np.asarray(tree2.threshold_bin)
+    )
 
 
 def test_tree_reduces_sse(small_problem):
