@@ -100,15 +100,31 @@ def node_histograms(
     if _on_tpu():
         from quickrank_tpu.ops.pallas_histogram import histogram_pallas
 
+        N, F = binned.shape
+        C = values.shape[-1]
+        # pack several nodes' channel triples into one kernel pass (the
+        # channel axis is the matmul M dimension, so packing raises MXU
+        # occupancy and turns per-level growth into ~1 pass per level)
+        per_pass = max(1, 32 // C)
         outs = []
-        for n in range(num_nodes):
-            m = doc_mask & (node_of_doc == n)
+        for n0 in range(0, num_nodes, per_pass):
+            k = min(per_pass, num_nodes - n0)
+            packed = jnp.concatenate(
+                [
+                    jnp.where(
+                        (doc_mask & (node_of_doc == (n0 + i)))[:, None],
+                        values,
+                        0.0,
+                    )
+                    for i in range(k)
+                ],
+                axis=1,
+            )  # [N, k*C]
+            h = histogram_pallas(binned, packed, num_bins)  # [F, B, k*C]
             outs.append(
-                histogram_pallas(
-                    binned, jnp.where(m[:, None], values, 0.0), num_bins
-                )
+                jnp.moveaxis(h.reshape(F, h.shape[1], k, C), 2, 0)
             )
-        return jnp.stack(outs, axis=0)
+        return jnp.concatenate(outs, axis=0)
     return node_histograms_scatter(
         binned, values, node_of_doc, doc_mask, num_nodes, num_bins
     )

@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
-CH_PAD = 8  # channel rows padded to one sublane tile
+CH_PAD = 8  # minimum channel-row padding (one sublane tile)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -78,10 +78,13 @@ def histogram_pallas(
     """hist[f, b, c] = sum_n values[n, c] [binned[n, f] == b]  ->  [F, B, C].
 
     ``values`` must already be masked (zero rows contribute nothing); padding
-    docs added for tiling carry zero values.
+    docs added for tiling carry zero values.  The channel axis may carry
+    several packed groups (e.g. per-node channels for level-wise growth) —
+    it is padded to a multiple of 8 sublanes.
     """
     N, F = binned.shape
     C = values.shape[-1]
+    ch_pad = _round_up(max(C, CH_PAD), 8)
     Bp = _round_up(num_bins, LANES)
     n_pad = _round_up(max(N, tile_n), tile_n)
     if n_pad != N:
@@ -89,7 +92,7 @@ def histogram_pallas(
         values = jnp.pad(values, ((0, n_pad - N), (0, 0)))
 
     v = values.astype(jnp.float32)
-    vp = jnp.pad(v, ((0, 0), (0, CH_PAD - C)))
+    vp = jnp.pad(v, ((0, 0), (0, ch_pad - C)))
 
     # Feature-group G such that G*Bp lanes stay MXU-friendly but VMEM-light.
     G = feat_group
@@ -101,15 +104,15 @@ def histogram_pallas(
 
     out = pl.pallas_call(
         partial(_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n),
-        out_shape=jax.ShapeDtypeStruct((CH_PAD, Fp * Bp), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((ch_pad, Fp * Bp), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, Fp), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, CH_PAD), lambda i: (i, 0),
+            pl.BlockSpec((tile_n, ch_pad), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (CH_PAD, Fp * Bp), lambda i: (0, 0), memory_space=pltpu.VMEM
+            (ch_pad, Fp * Bp), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
     )(binned, vp)
     # out column layout per G-group: col = b * G + g  (tile-repeat order)
