@@ -162,11 +162,14 @@ class Mart(LTRAlgorithm):
         subsample: float = 1.0,
         max_features: float = 1.0,
         seed: int = 0,
+        max_depth: int = 0,
     ):
         """Defaults mirror quicklearn's training group (src/quicklearn.cc:97-140)
         except ``nthresholds``: the reference's 0 = "all unique values" is
         hostile to a dense [nodes, F, B] histogram tensor, so we default to
-        255 bins (standard GBDT quantization)."""
+        255 bins (standard GBDT quantization).  ``max_depth`` (extension, 0 =
+        unbounded like the reference) caps best-first depth so the ensemble
+        embeds into perfect trees and unlocks the fast scoring kernel."""
         self.ntrees = int(ntrees)
         self.shrinkage = float(shrinkage)
         self.nthresholds = int(nthresholds)
@@ -176,6 +179,7 @@ class Mart(LTRAlgorithm):
         self.subsample = float(subsample)
         self.max_features = float(max_features)
         self.seed = int(seed)
+        self.max_depth = int(max_depth)
         self.ensemble: Optional[EnsembleTensors] = None
         self.best_iteration: int = -1
         self.history: dict = {}
@@ -203,6 +207,7 @@ class Mart(LTRAlgorithm):
             newton=self._newton,
             feat_axis=feat_axis,
             feat_axis_size=feat_axis_size,
+            max_depth=self.max_depth,
         )
 
     def _tree_weight(self) -> float:
@@ -210,8 +215,13 @@ class Mart(LTRAlgorithm):
 
     def _descend_depth(self) -> int:
         """Static bound on tree depth for the descent scorer (best-first
-        chain depth <= nleaves - 1; XML-loaded models carry their own)."""
-        return self._depth_bound or self.nleaves
+        chain depth <= nleaves - 1, or the explicit cap; XML-loaded models
+        carry their own)."""
+        if self._depth_bound:
+            return self._depth_bound
+        if self.max_depth:
+            return min(self.max_depth + 1, self.nleaves)
+        return self.nleaves
 
     def _fit_and_assign(self, tr: StepData, grad, smask, cfg, key, axis_name):
         """Fit one tree; returns (Tree without leaf values, node_of_doc)."""
@@ -525,7 +535,32 @@ class Mart(LTRAlgorithm):
     def score_dataset(self, ds: Dataset) -> np.ndarray:
         ens = self._require_model()
         feats = jnp.asarray(ds.features)
+        pe = self._perfect_embedding()
+        if pe is not None:
+            from quickrank_tpu.ops.pallas_perfect import score_perfect_pallas
+
+            return np.asarray(score_perfect_pallas(feats, pe))
         return np.asarray(score_ensemble(feats, ens, max_depth=self._descend_depth()))
+
+    def _perfect_embedding(self):
+        """Perfect-tree form for the fast scoring kernel (TPU only; trees
+        deeper than 5 fall back to descent).  Cached per ensemble."""
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            return None
+        ens = self._require_model()
+        cached = getattr(self, "_pe_cache", None)
+        if cached is not None and cached[0] is ens:
+            return cached[1]
+        from quickrank_tpu.trees.perfect import ensemble_to_perfect
+
+        try:
+            pe = ensemble_to_perfect(ens, max_depth=5)
+        except RecursionError:
+            pe = None
+        self._pe_cache = (ens, pe)
+        return pe
 
     def partial_scores_dataset(self, ds: Dataset) -> np.ndarray:
         ens = self._require_model()

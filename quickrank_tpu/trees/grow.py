@@ -50,6 +50,10 @@ class GrowConfig:
     #: best split is resolved by a tiny all_gather of per-shard candidates.
     feat_axis: str | None = None
     feat_axis_size: int = 1
+    #: optional depth cap (0 = unbounded, the reference's behavior).  Depth-
+    #: capped trees embed into perfect binary trees, unlocking the batched
+    #: traversal-free scoring kernel for non-oblivious ensembles.
+    max_depth: int = 0
 
     @property
     def max_nodes(self) -> int:
@@ -71,6 +75,7 @@ class _GrowState:
     deviance: jnp.ndarray  # f32 [max_nodes]
     active: jnp.ndarray  # bool [max_nodes] current leaves
     frozen: jnp.ndarray  # bool [max_nodes] unsplittable leaves ("taken")
+    depth: jnp.ndarray  # i32 [max_nodes] node depth
     n_nodes: jnp.ndarray  # i32
     taken: jnp.ndarray  # i32
     key: jnp.ndarray
@@ -181,6 +186,7 @@ def fit_tree(
         deviance=deviance,
         active=active,
         frozen=jnp.zeros((max_nodes,), bool),
+        depth=jnp.zeros((max_nodes,), jnp.int32),
         n_nodes=jnp.asarray(1, jnp.int32),
         taken=jnp.asarray(0, jnp.int32),
         key=key,
@@ -224,6 +230,8 @@ def fit_tree(
             f_star = allc[bidx, 1].astype(jnp.int32)  # GLOBAL feature id
             t_star = allc[bidx, 2].astype(jnp.int32)
         can_split = has_split & (s.deviance[leaf] > 0)
+        if cfg.max_depth:
+            can_split = can_split & (s.depth[leaf] < cfg.max_depth)
 
         def do_split(s: _GrowState) -> _GrowState:
             a = s.n_nodes
@@ -273,6 +281,10 @@ def fit_tree(
                 .at[b]
                 .set(_deviance(cb, sb, s2b)),
                 active=s.active.at[leaf].set(False).at[a].set(True).at[b].set(True),
+                depth=s.depth.at[a]
+                .set(s.depth[leaf] + 1)
+                .at[b]
+                .set(s.depth[leaf] + 1),
                 n_nodes=s.n_nodes + 2,
                 key=key,
             )
