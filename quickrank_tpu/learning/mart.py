@@ -534,12 +534,18 @@ class Mart(LTRAlgorithm):
 
     def score_dataset(self, ds: Dataset) -> np.ndarray:
         ens = self._require_model()
-        feats = jnp.asarray(ds.features)
         pe = self._perfect_embedding()
         if pe is not None:
             from quickrank_tpu.ops.pallas_perfect import score_perfect_pallas
+            from quickrank_tpu.trees.perfect import compact_feature_space
 
-            return np.asarray(score_perfect_pallas(feats, pe))
+            compact = compact_feature_space(ds.features, np.asarray(pe.fid))
+            if compact is not None:
+                feats_c, fid_c = compact
+                pe = pe.replace(fid=jnp.asarray(fid_c))
+                return np.asarray(score_perfect_pallas(jnp.asarray(feats_c), pe))
+            return np.asarray(score_perfect_pallas(jnp.asarray(ds.features), pe))
+        feats = jnp.asarray(ds.features)
         return np.asarray(score_ensemble(feats, ens, max_depth=self._descend_depth()))
 
     def _perfect_embedding(self):

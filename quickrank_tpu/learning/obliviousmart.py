@@ -125,13 +125,19 @@ class _ObliviousFit:
 
     def score_dataset(self, ds, tree_chunk: int = 0) -> np.ndarray:
         obl = self.oblivious_ensemble()
-        feats = jnp.asarray(ds.features)
         import jax
 
-        if jax.devices()[0].platform == "tpu":
+        if jax.default_backend() == "tpu":
             from quickrank_tpu.ops.pallas_oblivious import score_oblivious_pallas
+            from quickrank_tpu.trees.perfect import compact_feature_space
 
-            return np.asarray(score_oblivious_pallas(feats, obl))
+            compact = compact_feature_space(ds.features, np.asarray(obl.fid))
+            if compact is not None:
+                feats_c, fid_c = compact
+                obl = obl.replace(fid=jnp.asarray(fid_c))
+                return np.asarray(score_oblivious_pallas(jnp.asarray(feats_c), obl))
+            return np.asarray(score_oblivious_pallas(jnp.asarray(ds.features), obl))
+        feats = jnp.asarray(ds.features)
         return np.asarray(score_oblivious(feats, obl, tree_chunk=tree_chunk))
 
 

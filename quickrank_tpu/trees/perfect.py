@@ -116,3 +116,21 @@ def ensemble_to_perfect(
 
 def _round_up_int(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def compact_feature_space(features: np.ndarray, fid: np.ndarray):
+    """If a model references <= 128 distinct features, select just those
+    columns and remap ids — the selection matmul's contraction dim then fits
+    one 128-lane MXU tile instead of two (2x efficiency).
+
+    Returns (features_subset [N, U], fid_remapped) or None when not
+    beneficial.
+    """
+    fid = np.asarray(fid)
+    used = np.unique(fid)
+    F = features.shape[1]
+    if len(used) > 128 or len(used) >= F:
+        return None
+    remap = np.zeros(F, np.int32)
+    remap[used] = np.arange(len(used), dtype=np.int32)
+    return np.ascontiguousarray(features[:, used]), remap[fid]
