@@ -41,11 +41,15 @@ def _kernel(binned_ref, chan_ref, out_ref, *, F, Bp, G, tile_n):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     # hi+lo bf16 split inside the kernel (outside, XLA's excess-precision
-    # folding can elide the rounding and silently drop the lo plane).
+    # folding can elide the rounding and silently drop the lo plane).  The
+    # two planes are STACKED on the channel axis so one matmul covers both
+    # (M stays under one 128-sublane tile either way).
     v = chan_ref[:]
     hi32 = v.astype(jnp.bfloat16).astype(jnp.float32)
     hi = hi32.astype(jnp.bfloat16)
     lo = (v - hi32).astype(jnp.bfloat16)
+    planes = jnp.concatenate([hi, lo], axis=1)  # [TILE, 2*CH]
+    ch = v.shape[1]
 
     # pltpu.repeat is a TILE repeat ([a b] -> [a b a b ...]), so column
     # col of the repeated block holds feature (col % G) at bin (col // G).
@@ -56,15 +60,11 @@ def _kernel(binned_ref, chan_ref, out_ref, *, F, Bp, G, tile_n):
         rep = pltpu.repeat(chunk, Bp, axis=1)  # [TILE, G*Bp]
         oh = (rep == bin_of_col).astype(jnp.bfloat16)
         part = jax.lax.dot_general(
-            hi, oh,
+            planes, oh,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            lo, oh,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [CH_PAD, G*Bp]
-        out_ref[:, g0 * Bp : g0 * Bp + G * Bp] += part
+        )  # [2*CH, G*Bp]
+        out_ref[:, g0 * Bp : g0 * Bp + G * Bp] += part[:ch] + part[ch:]
 
 
 @partial(jax.jit, static_argnames=("num_bins", "tile_n", "feat_group"))
