@@ -24,6 +24,7 @@ def _tree_kwargs(p: dict) -> dict:
         subsample=p.get("subsample", 1.0),
         max_features=p.get("max_features", 1.0),
         seed=p.get("seed", 0),
+        collapse_leaves_factor=p.get("collapse_leaves_factor", 0.0),
     )
 
 

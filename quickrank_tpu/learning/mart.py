@@ -163,6 +163,7 @@ class Mart(LTRAlgorithm):
         max_features: float = 1.0,
         seed: int = 0,
         max_depth: int = 0,
+        collapse_leaves_factor: float = 0.0,
     ):
         """Defaults mirror quicklearn's training group (src/quicklearn.cc:97-140)
         except ``nthresholds``: the reference's 0 = "all unique values" is
@@ -180,6 +181,7 @@ class Mart(LTRAlgorithm):
         self.max_features = float(max_features)
         self.seed = int(seed)
         self.max_depth = int(max_depth)
+        self.collapse_leaves_factor = float(collapse_leaves_factor)
         self.ensemble: Optional[EnsembleTensors] = None
         self.best_iteration: int = -1
         self.history: dict = {}
@@ -208,6 +210,7 @@ class Mart(LTRAlgorithm):
             feat_axis=feat_axis,
             feat_axis_size=feat_axis_size,
             max_depth=self.max_depth,
+            collapse_factor=self.collapse_leaves_factor,
         )
 
     def _tree_weight(self) -> float:
@@ -611,7 +614,7 @@ class Mart(LTRAlgorithm):
             "estop": self.esr,
             "subsample": self.subsample,
             "max_features": self.max_features,
-            "collapse_leaves_factor": 0,
+            "collapse_leaves_factor": self.collapse_leaves_factor,
         }
 
     def _to_xml(self):

@@ -79,10 +79,22 @@ def lambda_gradients(
 
     scores/labels: f32 [Q, D]; slot_mask: bool [Q, D]; nvalid: i32 [Q].
     Returns (lambdas [Q, D], weights [Q, D]) in slot space.
-    ``query_chunk`` bounds the live [chunk, D, D] pair tensor (must divide Q).
+    ``query_chunk`` bounds the live [chunk, D, D] pair tensor; by default a
+    chunk is chosen automatically so the pair tensors stay under ~1 GB (the
+    reference bounds the pair loop with the metric cutoff break,
+    lambdamart.cc:124-126 — here padded blocks + masking play that role).
     """
-    Q = scores.shape[0]
-    if query_chunk is None or query_chunk >= Q:
+    Q, D = scores.shape
+    if query_chunk is None:
+        # ~6 live [C, D, D] f32 tensors; keep them under ~1 GB total
+        budget = (1 << 30) // (6 * 4 * max(D * D, 1))
+        if budget >= Q:
+            query_chunk = Q
+        else:
+            query_chunk = max(1, budget)
+            while Q % query_chunk:
+                query_chunk -= 1
+    if query_chunk >= Q:
         return _lambda_block(scores, labels, slot_mask, nvalid, metric)
     assert Q % query_chunk == 0, (Q, query_chunk)
     C = Q // query_chunk

@@ -54,6 +54,11 @@ class GrowConfig:
     #: capped trees embed into perfect binary trees, unlocking the batched
     #: traversal-free scoring kernel for non-oblivious ensembles.
     max_depth: int = 0
+    #: bottom-up leaf-merge pruning (rt.cc:93-152): 0 = off.  After growth,
+    #: nodes pop deepest-first (ties by deviance); a popped node's parent is
+    #: collapsed into a leaf while n_nodes <= (2^(depth+1)-1) * factor, and
+    #: the pass stops at the first violation.
+    collapse_factor: float = 0.0
 
     @property
     def max_nodes(self) -> int:
@@ -76,6 +81,7 @@ class _GrowState:
     active: jnp.ndarray  # bool [max_nodes] current leaves
     frozen: jnp.ndarray  # bool [max_nodes] unsplittable leaves ("taken")
     depth: jnp.ndarray  # i32 [max_nodes] node depth
+    parent: jnp.ndarray  # i32 [max_nodes] parent node (-1 for root)
     n_nodes: jnp.ndarray  # i32
     taken: jnp.ndarray  # i32
     key: jnp.ndarray
@@ -187,6 +193,7 @@ def fit_tree(
         active=active,
         frozen=jnp.zeros((max_nodes,), bool),
         depth=jnp.zeros((max_nodes,), jnp.int32),
+        parent=jnp.full((max_nodes,), -1, jnp.int32),
         n_nodes=jnp.asarray(1, jnp.int32),
         taken=jnp.asarray(0, jnp.int32),
         key=key,
@@ -285,6 +292,7 @@ def fit_tree(
                 .set(s.depth[leaf] + 1)
                 .at[b]
                 .set(s.depth[leaf] + 1),
+                parent=s.parent.at[a].set(leaf).at[b].set(leaf),
                 n_nodes=s.n_nodes + 2,
                 key=key,
             )
@@ -299,7 +307,80 @@ def fit_tree(
         return jax.lax.cond(can_split, do_split, freeze, s)
 
     final = jax.lax.while_loop(cond, body, state)
-    return final.tree, final.node_of_doc
+    tree = final.tree
+    node_of_doc = final.node_of_doc
+    if cfg.collapse_factor > 0:
+        if feat_axis is not None:
+            raise NotImplementedError(
+                "collapse-leaves-factor under feature sharding not supported"
+            )
+        tree = _collapse_leaves(
+            tree, final.deviance, final.depth, final.parent, final.n_nodes,
+            cfg.collapse_factor, max_nodes,
+        )
+        from quickrank_tpu.ops.scoring import descend_tree_binned
+
+        node_of_doc = descend_tree_binned(binned, tree, cfg.nleaves)
+    return tree, node_of_doc
+
+
+def _collapse_leaves(
+    tree: Tree, deviance, depth, parent, n_nodes, factor: float, max_nodes: int
+) -> Tree:
+    """Bottom-up leaf-merge pruning (rt.cc:93-152 + tree_heap_nodes
+    :364-384): pop nodes deepest-first (ties broken by deviance/max_deviance,
+    the heap key ``depth + dev/max_dev``); a popped node's parent collapses
+    into a leaf while ``n_nodes <= (2^(depth+1)-1) * factor``, stopping at
+    the first violation."""
+    idx = jnp.arange(max_nodes)
+    exists = (idx < n_nodes) & (idx > 0)  # root entry is skipped (depth 0)
+    max_dev = jnp.maximum(jnp.max(jnp.where(exists, deviance, 0.0)), 1e-30)
+    prio = jnp.where(
+        exists, depth.astype(jnp.float32) + deviance / max_dev, NEG_INF
+    )
+
+    def cond(s):
+        tree, processed, n_eff, stop = s
+        return jnp.any(~processed & exists) & ~stop
+
+    def body(s):
+        tree, processed, n_eff, stop = s
+        i = jnp.argmax(jnp.where(~processed & exists, prio, NEG_INF))
+        processed = processed.at[i].set(True)
+        p = parent[i]
+        eligible = (depth[i] > 0) & (p >= 0) & ~tree.is_leaf[jnp.maximum(p, 0)]
+
+        max_n = jnp.left_shift(1, depth[i] + 1) - 1
+        break_now = n_eff.astype(jnp.float32) > max_n.astype(jnp.float32) * factor
+
+        def merge(args):
+            tree, n_eff, stop = args
+            t2 = tree.replace(
+                is_leaf=tree.is_leaf.at[p].set(True),
+                feature=tree.feature.at[p].set(-1),
+                threshold=tree.threshold.at[p].set(0.0),
+                threshold_bin=tree.threshold_bin.at[p].set(-1),
+            )
+            return t2, n_eff - 2, stop
+
+        def brk(args):
+            tree, n_eff, stop = args
+            return tree, n_eff, True
+
+        def act(args):
+            return jax.lax.cond(break_now, brk, merge, args)
+
+        tree, n_eff, stop = jax.lax.cond(
+            eligible, act, lambda a: a, (tree, n_eff, stop)
+        )
+        return tree, processed, n_eff, stop
+
+    tree, _, _, _ = jax.lax.while_loop(
+        cond,
+        body,
+        (tree, jnp.zeros((max_nodes,), bool), n_nodes, jnp.asarray(False)),
+    )
+    return tree
 
 
 def leaf_outputs(

@@ -256,3 +256,33 @@ def _hist_interpret(binned, values, num_bins):
     hist = out[:C].reshape(C, Fp // G, Bp, G)
     hist = jnp.swapaxes(hist, 2, 3).reshape(C, Fp, Bp)[:, :F, :num_bins]
     return jnp.moveaxis(hist, 0, -1)
+
+
+def test_collapse_leaves_factor(small_problem):
+    """Bottom-up leaf-merge pruning (rt.cc:93-152): larger factors collapse
+    deeper, trees stay scorable, factor=0 is a no-op."""
+    X, y = small_problem
+    b = bin_dataset(X, nthresholds=32)
+
+    def fit_with(factor):
+        cfg = GrowConfig(
+            nleaves=16, min_leaf_support=1, num_bins=b.num_bins,
+            collapse_factor=factor,
+        )
+        tree, node = fit_tree(
+            jnp.asarray(b.binned), jnp.asarray(y),
+            jnp.ones((X.shape[0],), bool), jnp.asarray(b.thresholds), cfg,
+        )
+        tree = leaf_outputs(tree, node, jnp.asarray(y), jnp.ones(X.shape[0], bool))
+        return tree, np.asarray(node)
+
+    t0, n0 = fit_with(0.0)
+    t1, n1 = fit_with(0.25)
+    leaves0 = int((np.asarray(t0.is_leaf) & (np.bincount(n0, minlength=t0.max_nodes) > 0)).sum())
+    leaves1 = int((np.asarray(t1.is_leaf) & (np.bincount(n1, minlength=t1.max_nodes) > 0)).sum())
+    assert leaves1 <= leaves0
+    # collapsed tree still routes consistently and scores finitely
+    pred = np.asarray(score_tree(jnp.asarray(X), t1, 16))
+    assert np.isfinite(pred).all()
+    via = np.asarray(descend_tree_binned(jnp.asarray(b.binned), t1, 16))
+    np.testing.assert_array_equal(n1, via)
