@@ -31,7 +31,17 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.4.35 promotes shard_map out of experimental
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from quickrank_tpu.data.dataset import (
     Dataset,

@@ -14,6 +14,9 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 jax.config.update("jax_platforms", "cpu")
+# Persistent compilation cache: repeated suite runs skip recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/qrtpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 assert len(jax.devices()) >= 8, jax.devices()
 
 import numpy as np  # noqa: E402
