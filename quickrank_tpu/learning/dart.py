@@ -23,9 +23,13 @@ reference exactly:
     best model improves, and a full rescoring pass fights incremental drift
     every >10 iterations after a cleanup (dart.cc:552-558).
 
-Multi-chip: not wired yet — DART's per-iteration host/device chatter needs a
-different batching strategy before sharding pays off (the reference has no
-distributed mode either).
+Multi-chip: pass ``mesh`` (1-D data mesh) — every device kernel (fit,
+dropped-subset rescoring, metric, embedded line search) runs under
+``shard_map`` with the same histogram/metric psum discipline as the other
+learners.  Default DART reproduces single-device results exactly; the
+LINESEARCH normalization can diverge across shardings because NDCG plateaus
+make its 17-point argmax sensitive to f32 reduction order (the same
+tie-break variance the reference has across OpenMP schedules).
 """
 
 from __future__ import annotations
@@ -35,6 +39,7 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from quickrank_tpu.learning.lambdamart import LambdaMart
 from quickrank_tpu.learning.mart import TrainData, eval_metric
@@ -95,21 +100,34 @@ class Dart(LambdaMart):
     # ------------------------------------------------------------------
 
     def learn(self, train, valid=None, metric=None, verbose=True, mesh=None):
-        if mesh is not None:
-            raise NotImplementedError("DART: multi-chip training not wired yet")
         metric = metric or self.default_metric()
         import time as _time
 
         t0 = _time.time()
-        tr = TrainData.build(train, self.nthresholds)
+        num_shards = 1
+        axis = None
+        if mesh is not None:
+            if len(mesh.axis_names) > 1:
+                raise NotImplementedError("DART: 2-D meshes not supported")
+            axis = mesh.axis_names[0]
+            num_shards = int(mesh.shape[axis])
+        tr = TrainData.build(train, self.nthresholds, num_shards=num_shards)
         va = (
             TrainData.build(
-                valid, self.nthresholds,
+                valid, self.nthresholds, num_shards=num_shards,
                 thresholds=np.asarray(tr.step.thresholds),
             )
             if valid is not None
             else None
         )
+        if mesh is not None:
+            import dataclasses as _dc
+
+            from quickrank_tpu.parallel.mesh import shard_step_data
+
+            tr = _dc.replace(tr, step=shard_step_data(tr.step, mesh, axis))
+            if va is not None:
+                va = _dc.replace(va, step=shard_step_data(va.step, mesh, axis))
         cfg = self._grow_config(tr.num_bins)
         self._train_metric = metric
         md = self._descend_depth()
@@ -118,67 +136,133 @@ class Dart(LambdaMart):
         N = tr.padded.num_docs_padded
         n_real = tr.padded.doc_mask.sum()
 
-        # -- jitted kernels ------------------------------------------------
-        @jax.jit
-        def fit_fn(scores_tr, presence, key):
+        # -- device kernels (wrapped in shard_map under a mesh) ------------
+        def _fit_body(scores_tr, presence, key, tr_sd, va_sd):
             k1, k2, k3 = jax.random.split(key, 3)
-            smask = self._sample_mask(tr.step, k1, presence & tr.step.doc_mask)
-            grad, w = self._gradients(tr.step, scores_tr, smask, k2)
+            if axis is not None:
+                k1 = jax.random.fold_in(k1, jax.lax.axis_index(axis))
+            smask = self._sample_mask(tr_sd, k1, presence & tr_sd.doc_mask)
+            grad, w = self._gradients(tr_sd, scores_tr, smask, k2)
             tree, node = fit_tree(
-                tr.step.binned, grad, smask, tr.step.thresholds, cfg, key=k3
+                tr_sd.binned, grad, smask, tr_sd.thresholds, cfg, key=k3,
+                axis_name=axis,
             )
-            tree = leaf_outputs(tree, node, grad, smask, weights=w)
+            tree = leaf_outputs(
+                tree, node, grad, smask, weights=w, axis_name=axis
+            )
             d_tr = tree.leaf_value[jnp.maximum(node, 0)]
-            contribution = jnp.sum(jnp.abs(d_tr) * tr.step.doc_mask) / n_real
-            if va is None:
+            contrib = jnp.sum(jnp.abs(d_tr) * tr_sd.doc_mask)
+            if axis is not None:
+                contrib = jax.lax.psum(contrib, axis)
+            contrib = contrib / n_real
+            if va_sd is None:
                 d_va = jnp.zeros((1,), jnp.float32)
             else:
-                d_va = tree.leaf_value[
-                    descend_tree_binned(va.step.binned, tree, md)
-                ]
-            return tree, d_tr, d_va, contribution
+                d_va = tree.leaf_value[descend_tree_binned(va_sd.binned, tree, md)]
+            return tree, d_tr, d_va, contrib
 
-        def make_subset_delta(sd):
-            @jax.jit
-            def subset_delta(ens: EnsembleTensors, idx, w):
-                """sum_i w_i * tree_{idx_i}(x): [N].  idx/w padded (w=0)."""
+        def _delta_body(ens, idx, w, sd):
+            def body(acc, iw):
+                i, wi = iw
+                tree = ens.tree(i)
+                d = tree.leaf_value[descend_tree_binned(sd.binned, tree, md)]
+                return acc + wi * d, None
 
-                def body(acc, iw):
-                    i, wi = iw
-                    tree = ens.tree(i)
-                    d = tree.leaf_value[descend_tree_binned(sd.binned, tree, md)]
-                    return acc + wi * d, None
+            out, _ = jax.lax.scan(
+                body,
+                jnp.zeros((sd.binned.shape[0],), jnp.float32),
+                (idx, w),
+            )
+            return out
 
-                out, _ = jax.lax.scan(
-                    body,
-                    jnp.zeros((sd.binned.shape[0],), jnp.float32),
-                    (idx, w),
-                )
-                return out
-
-            return subset_delta
-
-        delta_tr_fn = make_subset_delta(tr.step)
-        delta_va_fn = make_subset_delta(va.step) if va is not None else None
-
-        @jax.jit
-        def eval_tr(s):
-            return eval_metric(metric, tr.step, s)
-
-        @jax.jit
-        def eval_va(s):
-            return eval_metric(metric, va.step, s) if va is not None else 0.0
-
-        @jax.jit
-        def linesearch16(scores_tr, d_tr):
-            """16-point window search for the new tree's weight
-            (dart.cc:977-1034: window 1 around 1.0, positive points only)."""
-            pts = 1.0 - 1.0 + (2.0 / 16.0) * jnp.arange(17, dtype=jnp.float32)
+        def _linesearch_body(scores_tr, d_tr, tr_sd):
+            # 16-point window search for the new tree's weight
+            # (dart.cc:977-1034: window 1 around 1.0, positive points only)
+            pts = (2.0 / 16.0) * jnp.arange(17, dtype=jnp.float32)
             valid = pts > 0
             cand = scores_tr[None, :] + pts[:, None] * d_tr[None, :]
-            ms = jax.vmap(lambda s: eval_metric(metric, tr.step, s))(cand)
+            ms = jax.vmap(lambda s: eval_metric(metric, tr_sd, s, axis))(cand)
             ms = jnp.where(valid, ms, -jnp.inf)
             return pts[jnp.argmax(ms)]
+
+        if mesh is None:
+            fit_fn = jax.jit(
+                lambda s, p, k: _fit_body(s, p, k, tr.step, va.step if va else None)
+            )
+            delta_tr_fn = jax.jit(lambda e, i, w: _delta_body(e, i, w, tr.step))
+            delta_va_fn = (
+                jax.jit(lambda e, i, w: _delta_body(e, i, w, va.step))
+                if va is not None
+                else None
+            )
+            eval_tr = jax.jit(lambda s: eval_metric(metric, tr.step, s))
+            eval_va = jax.jit(
+                lambda s: eval_metric(metric, va.step, s) if va else 0.0
+            )
+            linesearch16 = jax.jit(lambda s, d: _linesearch_body(s, d, tr.step))
+        else:
+            from quickrank_tpu.learning.mart import shard_map
+            from quickrank_tpu.parallel.mesh import step_data_specs
+            from quickrank_tpu.trees.structs import EnsembleTensors as _ET
+
+            rep = P()
+            Pd = P(axis)
+            tr_specs = step_data_specs(tr.step, axis)
+            va_specs = step_data_specs(va.step, axis) if va is not None else None
+            ens_specs = jax.tree.map(lambda _: rep, _ET.empty(1, 1))
+            tree_specs = jax.tree.map(lambda _: rep, Tree.empty(1))
+
+            fit_fn = jax.jit(
+                shard_map(
+                    lambda s, p, k, trd, vad=None: _fit_body(s, p, k, trd, vad),
+                    mesh,
+                    in_specs=(Pd, Pd, rep, tr_specs)
+                    + ((va_specs,) if va is not None else ()),
+                    out_specs=(tree_specs, Pd, Pd if va is not None else rep, rep),
+                )
+            )
+            if va is not None:
+                _fit_inner = fit_fn
+                fit_fn = lambda s, p, k: _fit_inner(s, p, k, tr.step, va.step)  # noqa: E731
+            else:
+                _fit_inner = fit_fn
+                fit_fn = lambda s, p, k: _fit_inner(s, p, k, tr.step)  # noqa: E731
+
+            def _mk_delta(sd, specs):
+                inner = jax.jit(
+                    shard_map(
+                        _delta_body, mesh,
+                        in_specs=(ens_specs, rep, rep, specs),
+                        out_specs=Pd,
+                    )
+                )
+                return lambda e, i, w: inner(e, i, w, sd)
+
+            delta_tr_fn = _mk_delta(tr.step, tr_specs)
+            delta_va_fn = (
+                _mk_delta(va.step, va_specs) if va is not None else None
+            )
+
+            def _mk_eval(sd, specs):
+                inner = jax.jit(
+                    shard_map(
+                        lambda s, d: eval_metric(metric, d, s, axis), mesh,
+                        in_specs=(Pd, specs), out_specs=rep,
+                    )
+                )
+                return lambda s: inner(s, sd)
+
+            eval_tr = _mk_eval(tr.step, tr_specs)
+            eval_va = _mk_eval(va.step, va_specs) if va is not None else (
+                lambda s: 0.0
+            )
+            _ls_inner = jax.jit(
+                shard_map(
+                    _linesearch_body, mesh,
+                    in_specs=(Pd, Pd, tr_specs), out_specs=rep,
+                )
+            )
+            linesearch16 = lambda s, d: _ls_inner(s, d, tr.step)  # noqa: E731
 
         # -- host state ----------------------------------------------------
         cap = self.ntrees + max(16, self.ntrees // 4)

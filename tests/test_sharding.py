@@ -90,3 +90,14 @@ def test_2d_mesh_matches_single_device(small_splits):
     i2 = m2.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh_2d(2, 4))
     np.testing.assert_allclose(i1["train"], i2["train"], atol=1e-6)
     np.testing.assert_allclose(i1["valid"], i2["valid"], atol=1e-6)
+
+
+def test_dart_sharded_matches_single_device(small_splits):
+    from quickrank_tpu.learning import Dart
+
+    train, valid, _ = small_splits
+    d1 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=3)
+    i1 = d1.learn(train, valid, Ndcg(10), verbose=False)
+    d4 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=3)
+    i4 = d4.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh(4))
+    np.testing.assert_allclose(i1["train"], i4["train"], atol=1e-3)
