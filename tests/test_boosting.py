@@ -90,3 +90,27 @@ def test_update_weights_filters_zeros(mart_model, splits):
     ps = m2.partial_scores_dataset(train)
     s = m2.score_dataset(train)
     np.testing.assert_allclose(ps @ m2.get_weights(), s, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("metric_spec", ["MAP", "TNDCG@10", "DCG@10"])
+def test_lambdamart_trains_with_other_metrics(splits, metric_spec):
+    """The lambda kernel must accept any metric's swap-delta matrix as its
+    jacobian (lambdamart.cc:110 uses the training scorer generically)."""
+    from quickrank_tpu.metrics import metric_factory
+
+    train, valid, _ = splits
+    m = metric_factory(metric_spec)
+    lm = LambdaMart(ntrees=6, nleaves=8, nthresholds=32, seed=1)
+    info = lm.learn(train, valid, m, verbose=False)
+    assert np.isfinite(info["train"]).all()
+    assert info["train"][-1] >= info["train"][0] - 1e-6
+
+
+def test_mart_trains_with_rmse(splits):
+    from quickrank_tpu.metrics import Rmse
+
+    train, valid, _ = splits
+    m = Mart(ntrees=6, nleaves=8, nthresholds=32, seed=1)
+    info = m.learn(train, valid, Rmse(), verbose=False)
+    # RMSE is negated (higher is better); squared-loss boosting must improve it
+    assert info["train"][-1] > info["train"][0]
