@@ -51,11 +51,6 @@ class _ObliviousFit:
         return kw
 
     def _fit_and_assign(self, tr: StepData, grad, smask, cfg, key, axis_name):
-        if cfg.feat_axis is not None:
-            raise NotImplementedError(
-                "oblivious trees: feature-axis sharding not wired yet "
-                "(use a 1-D data mesh)"
-            )
         fid, thr, tbin, leafidx = fit_oblivious_tree(
             tr.binned,
             grad,
@@ -64,6 +59,7 @@ class _ObliviousFit:
             self.treedepth,
             min_leaf_support=self.minleafsupport,
             axis_name=axis_name,
+            feat_axis=cfg.feat_axis,
         )
         L = 2**self.treedepth
         tree = oblivious_to_tree(fid, thr, tbin, jnp.zeros((L,), jnp.float32))

@@ -94,12 +94,15 @@ def fit_oblivious_tree(
     depth: int,
     min_leaf_support: int = 1,
     axis_name: Optional[str] = None,
+    feat_axis: Optional[str] = None,
 ):
     """Level-synchronous fit (ot.cc:46-175 semantics, fully batched).
 
     Returns (fid [D], thr [D], thr_bin [D], node_of_doc [N] in [0, 2^D)).
+    Feature ids are GLOBAL when ``feat_axis`` shards the feature blocks
+    (same candidate all_gather + owner-psum routing as trees/grow.py).
     """
-    N, F = binned.shape
+    N, F = binned.shape  # F is the LOCAL block when feat-sharded
     B = thresholds.shape[1]
     chan = doc_channels(grad, doc_mask)
     node = jnp.zeros((N,), jnp.int32)
@@ -125,16 +128,48 @@ def fit_oblivious_tree(
         valid = jnp.all(ok, axis=0)  # [F, B]: must hold for EVERY fringe node
         gain = jnp.where(valid, jnp.sum(node_gain, axis=0), NEG_INF)
         flat = jnp.argmax(gain)
-        f_star = (flat // B).astype(jnp.int32)
-        t_star = (flat % B).astype(jnp.int32)
+        f_loc = (flat // B).astype(jnp.int32)
+        t_loc = (flat % B).astype(jnp.int32)
         best = gain.reshape(-1)[flat]
-        can = alive & jnp.any(valid) & (best > 0)
 
-        fcol = jax.lax.dynamic_index_in_dim(binned, f_star, axis=1, keepdims=False)
-        bit = (fcol > t_star).astype(jnp.int32)
+        if feat_axis is None:
+            f_star, t_star = f_loc, t_loc
+            has_valid = jnp.any(valid)
+            best_g = best
+            fcol = jax.lax.dynamic_index_in_dim(
+                binned, f_star, axis=1, keepdims=False
+            )
+            bit = (fcol > t_star).astype(jnp.int32)
+            thr_val = thresholds[f_star, t_star]
+        else:
+            shard = jax.lax.axis_index(feat_axis)
+            cand = jnp.stack(
+                [
+                    jnp.where(jnp.any(valid), best, NEG_INF),
+                    (shard * F + f_loc).astype(jnp.float32),
+                    t_loc.astype(jnp.float32),
+                ]
+            )
+            allc = jax.lax.all_gather(cand, feat_axis)
+            bidx = jnp.argmax(allc[:, 0])
+            has_valid = jnp.isfinite(allc[bidx, 0])
+            best_g = allc[bidx, 0]
+            f_star = allc[bidx, 1].astype(jnp.int32)  # GLOBAL
+            t_star = allc[bidx, 2].astype(jnp.int32)
+            owns = (f_star // F) == shard
+            fl = jnp.where(owns, f_star % F, 0)
+            col = jax.lax.dynamic_index_in_dim(binned, fl, axis=1, keepdims=False)
+            bit = jax.lax.psum(
+                ((col > t_star) & owns).astype(jnp.int32), feat_axis
+            )
+            thr_val = jax.lax.psum(
+                jnp.where(owns, thresholds[fl, t_star], 0.0), feat_axis
+            )
+
+        can = alive & has_valid & (best_g > 0)
         node = jnp.where(can, 2 * node + bit, 2 * node)
         fid = fid.at[d].set(jnp.where(can, f_star, 0))
-        thr = thr.at[d].set(jnp.where(can, thresholds[f_star, t_star], FLT_MAX))
+        thr = thr.at[d].set(jnp.where(can, thr_val, FLT_MAX))
         thr_bin = thr_bin.at[d].set(jnp.where(can, t_star, B))
         alive = can
 

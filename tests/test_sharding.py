@@ -101,3 +101,15 @@ def test_dart_sharded_matches_single_device(small_splits):
     d4 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=3)
     i4 = d4.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh(4))
     np.testing.assert_allclose(i1["train"], i4["train"], atol=1e-3)
+
+
+def test_oblivious_2d_mesh_matches_single_device(small_splits):
+    from quickrank_tpu.learning import ObliviousLambdaMart
+    from quickrank_tpu.parallel.mesh import make_mesh_2d
+
+    train, valid, _ = small_splits
+    a = ObliviousLambdaMart(ntrees=5, treedepth=3, nthresholds=32, seed=1)
+    i1 = a.learn(train, valid, Ndcg(10), verbose=False)
+    b = ObliviousLambdaMart(ntrees=5, treedepth=3, nthresholds=32, seed=1)
+    i2 = b.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh_2d(2, 4))
+    np.testing.assert_allclose(i1["train"], i2["train"], atol=1e-5)
