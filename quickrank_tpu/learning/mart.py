@@ -140,7 +140,8 @@ class TrainData:
         else:
             wire = binned
         sd = StepData(
-            binned=jnp.asarray(wire).astype(jnp.int32),
+            # stays u8/u16 on device (4x memory at MSLR scale); kernels widen
+            binned=jnp.asarray(wire),
             labels=padded.labels,
             doc_mask=padded.doc_mask,
             pad_index=padded.pad_index,

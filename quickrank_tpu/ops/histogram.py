@@ -68,6 +68,7 @@ def masked_histogram_scatter(
 ) -> jnp.ndarray:
     """Scatter-add implementation (one pass over N x F).  Masked docs are
     routed to a dummy overflow bin that is sliced away."""
+    binned = binned.astype(jnp.int32)  # u8 storage would overflow the keys
     N, F = binned.shape
     C = values.shape[-1]
     # Masked docs go to an extra trash bin per feature.
@@ -139,6 +140,7 @@ def node_histograms_scatter(
     num_bins: int,
 ) -> jnp.ndarray:
     """Scatter-add implementation keyed by (node, feature, bin)."""
+    binned = binned.astype(jnp.int32)  # u8 storage would overflow the keys
     N, F = binned.shape
     C = values.shape[-1]
     ok = doc_mask & (node_of_doc >= 0) & (node_of_doc < num_nodes)

@@ -56,7 +56,7 @@ def _kernel(binned_ref, chan_ref, out_ref, *, F, Bp, G, tile_n):
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, G * Bp), 1)
     bin_of_col = col // G
     for g0 in range(0, F, G):  # F is pre-padded to a multiple of G
-        chunk = binned_ref[:, g0 : g0 + G]  # [TILE, G]
+        chunk = binned_ref[:, g0 : g0 + G].astype(jnp.int32)  # [TILE, G]
         rep = pltpu.repeat(chunk, Bp, axis=1)  # [TILE, G*Bp]
         oh = (rep == bin_of_col).astype(jnp.bfloat16)
         part = jax.lax.dot_general(
@@ -88,7 +88,8 @@ def histogram_pallas(
     Bp = _round_up(num_bins, LANES)
     n_pad = _round_up(max(N, tile_n), tile_n)
     if n_pad != N:
-        binned = jnp.pad(binned, ((0, n_pad - N), (0, 0)), constant_values=-1)
+        # pad docs carry zero channel values, so any bin id is harmless
+        binned = jnp.pad(binned, ((0, n_pad - N), (0, 0)))
         values = jnp.pad(values, ((0, n_pad - N), (0, 0)))
 
     v = values.astype(jnp.float32)
@@ -99,8 +100,8 @@ def histogram_pallas(
     grid = (n_pad // tile_n,)
     Fp = _round_up(F, G)
     if Fp != F:
-        # pad feature axis with bin id -1 (never matches any one-hot column)
-        binned = jnp.pad(binned, ((0, 0), (0, Fp - F)), constant_values=-1)
+        # pad feature columns land in output columns >= F, sliced away below
+        binned = jnp.pad(binned, ((0, 0), (0, Fp - F)))
 
     out = pl.pallas_call(
         partial(_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n),
