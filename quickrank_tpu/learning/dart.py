@@ -186,20 +186,28 @@ class Dart(LambdaMart):
             return pts[jnp.argmax(ms)]
 
         if mesh is None:
-            fit_fn = jax.jit(
-                lambda s, p, k: _fit_body(s, p, k, tr.step, va.step if va else None)
-            )
-            delta_tr_fn = jax.jit(lambda e, i, w: _delta_body(e, i, w, tr.step))
+            # Data tensors passed as jit arguments (not closure constants) to
+            # keep compiles fast and executables small.
+            if va is not None:
+                _fit_j = jax.jit(_fit_body)
+                fit_fn = lambda s, p, k: _fit_j(s, p, k, tr.step, va.step)  # noqa: E731
+            else:
+                _fit_j = jax.jit(lambda s, p, k, trd: _fit_body(s, p, k, trd, None))
+                fit_fn = lambda s, p, k: _fit_j(s, p, k, tr.step)  # noqa: E731
+            _delta_j = jax.jit(_delta_body)
+            delta_tr_fn = lambda e, i, w: _delta_j(e, i, w, tr.step)  # noqa: E731
             delta_va_fn = (
-                jax.jit(lambda e, i, w: _delta_body(e, i, w, va.step))
+                (lambda e, i, w: _delta_j(e, i, w, va.step))
                 if va is not None
                 else None
             )
-            eval_tr = jax.jit(lambda s: eval_metric(metric, tr.step, s))
-            eval_va = jax.jit(
-                lambda s: eval_metric(metric, va.step, s) if va else 0.0
+            _eval_j = jax.jit(lambda s, sd: eval_metric(metric, sd, s))
+            eval_tr = lambda s: _eval_j(s, tr.step)  # noqa: E731
+            eval_va = (
+                (lambda s: _eval_j(s, va.step)) if va is not None else (lambda s: 0.0)
             )
-            linesearch16 = jax.jit(lambda s, d: _linesearch_body(s, d, tr.step))
+            _ls_j = jax.jit(_linesearch_body)
+            linesearch16 = lambda s, d: _ls_j(s, d, tr.step)  # noqa: E731
         else:
             from quickrank_tpu.learning.mart import shard_map
             from quickrank_tpu.parallel.mesh import step_data_specs

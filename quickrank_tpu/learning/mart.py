@@ -320,13 +320,29 @@ class Mart(LTRAlgorithm):
         if mesh is None:
             cfg = self._grow_config(tr.num_bins)
 
-            def step(ens, s_tr, s_va, key, presence):
+            # Data tensors are jit ARGUMENTS, not closure constants — XLA
+            # would otherwise embed + constant-fold the multi-MB arrays at
+            # compile time (slow) and duplicate them in the executable.
+            if va_sd is not None:
+                def step_args(ens, s_tr, s_va, key, presence, tr_sd, va_sd_):
+                    return self._step_body(
+                        ens, s_tr, s_va, key, presence, tr_sd, va_sd_, metric,
+                        cfg, None,
+                    )
+
+                jitted = jax.jit(step_args, donate_argnums=(0, 1, 2))
+                return lambda e, s, v, k, p: jitted(
+                    e, s, v, k, p, tr.step, va.step
+                )
+
+            def step_args(ens, s_tr, s_va, key, presence, tr_sd):
                 return self._step_body(
-                    ens, s_tr, s_va, key, presence, tr.step, va_sd, metric,
+                    ens, s_tr, s_va, key, presence, tr_sd, None, metric,
                     cfg, None,
                 )
 
-            return jax.jit(step, donate_argnums=(0, 1, 2))
+            jitted = jax.jit(step_args, donate_argnums=(0, 1, 2))
+            return lambda e, s, v, k, p: jitted(e, s, v, k, p, tr.step)
 
         axis = mesh.axis_names[0]
         feat_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
