@@ -96,8 +96,10 @@ class CoordinateAscent(_LinearRanker):
         # window is normalized by the feature count (coordinate_ascent.cc:123)
         window0 = self.window_size / F
 
+        # X/padded are jit ARGUMENTS (closure constants would be
+        # constant-folded at compile time — very slow for big matrices)
         @jax.jit
-        def epoch(w, window):
+        def epoch(w, window, X, padded):
             step = 2.0 * window / P
 
             def fstep(i, w):
@@ -121,7 +123,7 @@ class CoordinateAscent(_LinearRanker):
             return w, metric.evaluate_padded(padded, X @ w)
 
         @jax.jit
-        def valid_metric(w):
+        def valid_metric(w, Xv, vpadded):
             return metric.evaluate_padded(vpadded, Xv @ w)
 
         w = jnp.full((F,), 1.0 / F, jnp.float32)
@@ -133,11 +135,11 @@ class CoordinateAscent(_LinearRanker):
             print(f"# {self.NAME}: window={self.window_size} pts={P}")
             print("# iter. training validation")
         for b in range(self.max_iterations):
-            w, m_tr = epoch(w, jnp.float32(window))
+            w, m_tr = epoch(w, jnp.float32(window), X, padded)
             m_tr = float(m_tr)
             hist_tr.append(m_tr)
             if valid is not None:
-                m_va = float(valid_metric(w))
+                m_va = float(valid_metric(w, Xv, vpadded))
                 hist_va.append(m_va)
                 improved = m_va > best_va
                 if improved:
@@ -243,7 +245,7 @@ class LineSearch(_LinearRanker):
         start_idx = max(0, F - self.train_only_last) if self.train_only_last else 0
 
         @jax.jit
-        def iteration(w, w_prev, best_m, window):
+        def iteration(w, w_prev, best_m, window, X, padded):
             step1 = 2.0 * window / P
             full_prev = X @ w_prev
 
@@ -279,18 +281,18 @@ class LineSearch(_LinearRanker):
             return w_new, w_prev_new, best_new, gain
 
         @jax.jit
-        def train_metric(w):
+        def train_metric(w, X, padded):
             return metric.evaluate_padded(padded, X @ w)
 
         @jax.jit
-        def valid_metric(w):
+        def valid_metric(w, Xv, vpadded):
             return metric.evaluate_padded(vpadded, Xv @ w)
 
         w = jnp.asarray(w0)
         w_prev = jnp.asarray(w0)
-        best_m = float(train_metric(w))
+        best_m = float(train_metric(w, X, padded))
         best_w = np.asarray(w, np.float64)
-        best_va = float(valid_metric(w)) if valid is not None else -np.inf
+        best_va = float(valid_metric(w, Xv, vpadded)) if valid is not None else -np.inf
         # window = mean weight * window factor (line_search.cc:232-236)
         window_start = float(np.mean(w0)) * self.window_size
         window = window_start
@@ -301,7 +303,7 @@ class LineSearch(_LinearRanker):
             print("# iter. training validation gain window")
         for it in range(self.max_iterations):
             w, w_prev, best_m_j, gain = iteration(
-                w, w_prev, jnp.float32(best_m), jnp.float32(window)
+                w, w_prev, jnp.float32(best_m), jnp.float32(window), X, padded
             )
             best_m = float(best_m_j)
             gain = float(gain)
@@ -313,7 +315,7 @@ class LineSearch(_LinearRanker):
                 rel = min((gain - max_gain) / max_gain, 1.0)
                 red = 1.0 + max(rel, -0.5)
             if valid is not None:
-                m_va = float(valid_metric(w))
+                m_va = float(valid_metric(w, Xv, vpadded))
                 hist_va.append(m_va)
                 improved = m_va > best_va
                 if improved:
