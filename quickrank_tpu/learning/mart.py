@@ -175,6 +175,7 @@ class Mart(LTRAlgorithm):
         seed: int = 0,
         max_depth: int = 0,
         collapse_leaves_factor: float = 0.0,
+        growth: str = "best",
     ):
         """Defaults mirror quicklearn's training group (src/quicklearn.cc:97-140)
         except ``nthresholds``: the reference's 0 = "all unique values" is
@@ -193,6 +194,12 @@ class Mart(LTRAlgorithm):
         self.seed = int(seed)
         self.max_depth = int(max_depth)
         self.collapse_leaves_factor = float(collapse_leaves_factor)
+        #: "best" = reference-faithful best-first growth; "level" = the TPU
+        #: throughput mode (one packed histogram pass per level, ~4x fewer
+        #: passes; depth = max_depth or ceil(log2(nleaves)))
+        if growth not in ("best", "level"):
+            raise ValueError(f"growth must be 'best' or 'level', got {growth!r}")
+        self.growth = growth
         self.ensemble: Optional[EnsembleTensors] = None
         self.best_iteration: int = -1
         self.history: dict = {}
@@ -212,8 +219,12 @@ class Mart(LTRAlgorithm):
         feat_axis: Optional[str] = None,
         feat_axis_size: int = 1,
     ) -> GrowConfig:
+        nleaves = self.nleaves
+        if self.growth == "level":
+            # level-wise trees are bounded by their depth, not a leaf budget
+            nleaves = 2 ** self._level_depth()
         return GrowConfig(
-            nleaves=self.nleaves,
+            nleaves=nleaves,
             min_leaf_support=self.minleafsupport,
             num_bins=num_bins,
             max_features=self.max_features,
@@ -233,12 +244,24 @@ class Mart(LTRAlgorithm):
         carry their own)."""
         if self._depth_bound:
             return self._depth_bound
+        if self.growth == "level":
+            return self._level_depth() + 1
         if self.max_depth:
             return min(self.max_depth + 1, self.nleaves)
         return self.nleaves
 
+    def _level_depth(self) -> int:
+        return self.max_depth or max(1, (self.nleaves - 1).bit_length())
+
     def _fit_and_assign(self, tr: StepData, grad, smask, cfg, key, axis_name):
         """Fit one tree; returns (Tree without leaf values, node_of_doc)."""
+        if self.growth == "level":
+            from quickrank_tpu.trees.grow_level import fit_tree_levelwise
+
+            return fit_tree_levelwise(
+                tr.binned, grad, smask, tr.thresholds, self._level_depth(),
+                cfg, key=key, axis_name=axis_name,
+            )
         return fit_tree(
             tr.binned, grad, smask, tr.thresholds, cfg, key=key, axis_name=axis_name
         )

@@ -113,3 +113,14 @@ def test_oblivious_2d_mesh_matches_single_device(small_splits):
     b = ObliviousLambdaMart(ntrees=5, treedepth=3, nthresholds=32, seed=1)
     i2 = b.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh_2d(2, 4))
     np.testing.assert_allclose(i1["train"], i2["train"], atol=1e-5)
+
+
+def test_levelwise_2d_mesh_parity(small_splits):
+    from quickrank_tpu.parallel.mesh import make_mesh_2d
+
+    train, valid, _ = small_splits
+    a = LambdaMart(ntrees=5, nleaves=16, nthresholds=32, seed=1, growth="level")
+    i1 = a.learn(train, valid, Ndcg(10), verbose=False)
+    b = LambdaMart(ntrees=5, nleaves=16, nthresholds=32, seed=1, growth="level")
+    i2 = b.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh_2d(2, 4))
+    np.testing.assert_allclose(i1["train"], i2["train"], atol=1e-5)

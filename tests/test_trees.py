@@ -286,3 +286,26 @@ def test_collapse_leaves_factor(small_problem):
     assert np.isfinite(pred).all()
     via = np.asarray(descend_tree_binned(jnp.asarray(b.binned), t1, 16))
     np.testing.assert_array_equal(n1, via)
+
+
+def test_levelwise_growth(small_problem):
+    """Level-wise mode: depth-bounded trees, per-node own splits, routing
+    consistent with descent, root split equals best-first's root split."""
+    from quickrank_tpu.trees.grow_level import fit_tree_levelwise
+
+    X, y = small_problem
+    b = bin_dataset(X, nthresholds=32)
+    cfg = GrowConfig(nleaves=16, min_leaf_support=1, num_bins=b.num_bins)
+    tree, node = fit_tree_levelwise(
+        jnp.asarray(b.binned), jnp.asarray(y),
+        jnp.ones((X.shape[0],), bool), jnp.asarray(b.thresholds), 4, cfg,
+    )
+    tree_bf, _ = fit_tree(
+        jnp.asarray(b.binned), jnp.asarray(y),
+        jnp.ones((X.shape[0],), bool), jnp.asarray(b.thresholds),
+        GrowConfig(nleaves=2, min_leaf_support=1, num_bins=b.num_bins),
+    )
+    assert int(tree.feature[0]) == int(tree_bf.feature[0])
+    assert int(tree.threshold_bin[0]) == int(tree_bf.threshold_bin[0])
+    via = np.asarray(descend_tree_binned(jnp.asarray(b.binned), tree, 5))
+    np.testing.assert_array_equal(np.asarray(node), via)
