@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--subsample", type=float, default=1.0)
     t.add_argument("--max-features", type=float, default=1.0)
     t.add_argument("--collapse-leaves-factor", type=float, default=0)
+    t.add_argument("--max-depth", type=int, default=0,
+                   help="depth cap (0 = unbounded; enables fast scorer)")
+    t.add_argument("--growth", default="best",
+                   help="[best|level] tree growth mode (level = TPU throughput mode)")
 
     s = p.add_argument_group("selective sampling options")
     s.add_argument("--sampling-iterations", type=int, default=0)

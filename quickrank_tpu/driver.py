@@ -107,6 +107,13 @@ def run(params: dict) -> dict:
             )
         if p.get("restart_train"):
             kwargs["warm_start"] = True
+        if p.get("num_shards", 0):
+            import inspect
+
+            from quickrank_tpu.parallel import make_mesh
+
+            if "mesh" in inspect.signature(algo.learn).parameters:
+                kwargs["mesh"] = make_mesh(int(p["num_shards"]))
         info = algo.learn(train, valid, train_metric, verbose=verbose, **kwargs)
         results["training"] = info
         if p.get("model_out"):

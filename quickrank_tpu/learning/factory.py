@@ -25,6 +25,8 @@ def _tree_kwargs(p: dict) -> dict:
         max_features=p.get("max_features", 1.0),
         seed=p.get("seed", 0),
         collapse_leaves_factor=p.get("collapse_leaves_factor", 0.0),
+        max_depth=p.get("max_depth", 0),
+        growth=p.get("growth", "best"),
     )
 
 

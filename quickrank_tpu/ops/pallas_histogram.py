@@ -72,8 +72,8 @@ def histogram_pallas(
     binned: jnp.ndarray,
     values: jnp.ndarray,
     num_bins: int,
-    tile_n: int = 512,
-    feat_group: int = 8,
+    tile_n: int = 0,
+    feat_group: int = 0,
 ) -> jnp.ndarray:
     """hist[f, b, c] = sum_n values[n, c] [binned[n, f] == b]  ->  [F, B, C].
 
@@ -85,6 +85,13 @@ def histogram_pallas(
     N, F = binned.shape
     C = values.shape[-1]
     ch_pad = _round_up(max(C, CH_PAD), 8)
+    # Tuned on v5e (120k x 136 x 256): tile 1024 / G 16 runs a pass in ~5ms
+    # for the 3-channel case; packed multi-node channels need the smaller
+    # footprint config to stay inside VMEM.
+    if tile_n <= 0:
+        tile_n = 1024 if ch_pad <= 8 else 512
+    if feat_group <= 0:
+        feat_group = 16 if ch_pad <= 8 else 8
     Bp = _round_up(num_bins, LANES)
     n_pad = _round_up(max(N, tile_n), tile_n)
     if n_pad != N:
