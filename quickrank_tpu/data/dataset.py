@@ -134,6 +134,11 @@ class PaddedDataset:
     #: i32 [S * docs_per_shard] original dataset row of each padded row
     #: (-1 for padding rows) — the inverse of the packing permutation.
     orig_index: jnp.ndarray = None
+    #: inverse of pad_index: shard-LOCAL query index and slot of each padded
+    #: doc row (0 for padding rows; gate with doc_mask).  Turns the padded
+    #: [Q, D] -> flat [N] write-back into a pure gather (no scatter).
+    inv_q: jnp.ndarray = None
+    inv_slot: jnp.ndarray = None
     num_shards: int = struct.field(pytree_node=False, default=1)
     docs_per_shard: int = struct.field(pytree_node=False, default=0)
     queries_per_shard: int = struct.field(pytree_node=False, default=0)
@@ -217,6 +222,8 @@ def shard_and_pad(
     labels = np.zeros((S * n_loc,), dtype=LABEL_DTYPE)
     doc_mask = np.zeros((S * n_loc,), dtype=bool)
     orig_index = np.full((S * n_loc,), -1, dtype=np.int32)
+    inv_q = np.zeros((S * n_loc,), dtype=np.int32)
+    inv_slot = np.zeros((S * n_loc,), dtype=np.int32)
     pad_index = np.full((S * q_loc, dmax), n_loc - 1, dtype=np.int32)
     slot_mask = np.zeros((S * q_loc, dmax), dtype=bool)
     query_mask = np.zeros((S * q_loc,), dtype=bool)
@@ -232,6 +239,10 @@ def shard_and_pad(
             doc_mask[s * n_loc + row : s * n_loc + row + n] = True
             orig_index[s * n_loc + row : s * n_loc + row + n] = np.arange(
                 sl.start, sl.stop, dtype=np.int32
+            )
+            inv_q[s * n_loc + row : s * n_loc + row + n] = qi  # shard-local
+            inv_slot[s * n_loc + row : s * n_loc + row + n] = np.arange(
+                n, dtype=np.int32
             )
             gq = s * q_loc + qi
             pad_index[gq, :n] = np.arange(row, row + n, dtype=np.int32)
@@ -249,6 +260,8 @@ def shard_and_pad(
         query_mask=jnp.asarray(query_mask),
         nvalid=jnp.asarray(nvalid),
         orig_index=jnp.asarray(orig_index),
+        inv_q=jnp.asarray(inv_q),
+        inv_slot=jnp.asarray(inv_slot),
         num_shards=S,
         docs_per_shard=n_loc,
         queries_per_shard=q_loc,
@@ -273,6 +286,14 @@ def unpack_doc_values(padded: PaddedDataset, values_padded_order) -> jnp.ndarray
     # Pad rows are routed out of bounds and dropped.
     idx = jnp.where(padded.doc_mask, padded.orig_index, padded.num_real_docs)
     return out.at[idx].set(v, mode="drop")
+
+
+def gather_unpad(padded_vals, inv_q, inv_slot, doc_mask):
+    """Padded [Q, D] per-query values -> flat per-doc array via the inverse
+    maps — a pure gather, replacing the sort-based scatter of
+    :func:`scatter_flat` on the hot path."""
+    out = padded_vals[inv_q, inv_slot]
+    return jnp.where(doc_mask, out, 0).astype(padded_vals.dtype)
 
 
 def gather_padded(flat: jnp.ndarray, pad_index: jnp.ndarray, slot_mask: jnp.ndarray, fill=0.0):

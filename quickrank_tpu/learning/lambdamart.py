@@ -16,7 +16,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from quickrank_tpu.data.dataset import gather_padded, scatter_flat
+from quickrank_tpu.data.dataset import gather_padded, gather_unpad
 from quickrank_tpu.learning.mart import Mart, StepData
 from quickrank_tpu.ops.lambdas import lambda_gradients
 
@@ -44,10 +44,9 @@ class LambdaMart(Mart):
         lam, w = lambda_gradients(
             s, l, slot_mask, nvalid, self._train_metric, self.query_chunk
         )
-        N = scores.shape[0]
         return (
-            scatter_flat(lam, idx, slot_mask, N),
-            scatter_flat(w, idx, slot_mask, N),
+            gather_unpad(lam, sd.inv_q, sd.inv_slot, sd.doc_mask),
+            gather_unpad(w, sd.inv_q, sd.inv_slot, sd.doc_mask),
         )
 
     def _make_step(self, tr, va, metric, mesh):

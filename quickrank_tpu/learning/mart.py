@@ -75,6 +75,8 @@ class StepData:
     labels: jnp.ndarray  # f32 [N]
     doc_mask: jnp.ndarray  # bool [N]
     pad_index: jnp.ndarray  # i32 [Q, D] (shard-local row ids)
+    inv_q: jnp.ndarray  # i32 [N] shard-local query of each doc row
+    inv_slot: jnp.ndarray  # i32 [N] slot of each doc row
     slot_mask: jnp.ndarray  # bool [Q, D]
     query_mask: jnp.ndarray  # bool [Q]
     nvalid: jnp.ndarray  # i32 [Q]
@@ -145,6 +147,8 @@ class TrainData:
             labels=padded.labels,
             doc_mask=padded.doc_mask,
             pad_index=padded.pad_index,
+            inv_q=padded.inv_q,
+            inv_slot=padded.inv_slot,
             slot_mask=padded.slot_mask,
             query_mask=padded.query_mask,
             nvalid=padded.nvalid,

@@ -79,6 +79,8 @@ def step_data_specs(sd, axis: str = DATA_AXIS, feat_axis: Optional[str] = None):
         labels=P(axis),
         doc_mask=P(axis),
         pad_index=P(axis, None),
+        inv_q=P(axis),
+        inv_slot=P(axis),
         slot_mask=P(axis, None),
         query_mask=P(axis),
         nvalid=P(axis),

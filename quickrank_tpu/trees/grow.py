@@ -383,6 +383,26 @@ def _collapse_leaves(
     return tree
 
 
+def segment_sums(index: jnp.ndarray, values: jnp.ndarray, num_slots: int):
+    """sum_n values[n, c] into slot index[n]: [num_slots, C].
+
+    On TPU this reuses the MXU histogram kernel (a one-column feature matrix
+    with ``num_slots`` bins) instead of a sort-based scatter.
+    """
+    from quickrank_tpu.ops.histogram import _on_tpu
+
+    if _on_tpu():
+        from quickrank_tpu.ops.pallas_histogram import histogram_pallas
+
+        h = histogram_pallas(index[:, None].astype(jnp.int32), values, num_slots)
+        return h[0]  # [num_slots, C]
+    C = values.shape[-1]
+    out = jnp.zeros((num_slots, C), jnp.float32)
+    return out.at[jnp.clip(index, 0, num_slots - 1)].add(
+        values, mode="drop"
+    )
+
+
 def leaf_outputs(
     tree: Tree,
     node_of_doc: jnp.ndarray,
@@ -395,23 +415,18 @@ def leaf_outputs(
     step sum(lambda)/sum(w) when ``weights`` given (rt.cc:186-207)."""
     max_nodes = tree.max_nodes
     ok = doc_mask & (node_of_doc >= 0)
-    idx = jnp.where(ok, node_of_doc, max_nodes)
     g = jnp.where(ok, grad, 0.0)
-    sums = jnp.zeros((max_nodes + 1,), jnp.float32).at[idx].add(g)
-    if weights is None:
-        den = (
-            jnp.zeros((max_nodes + 1,), jnp.float32)
-            .at[idx]
-            .add(ok.astype(jnp.float32))
-        )
-    else:
-        w = jnp.where(ok, weights, 0.0)
-        den = jnp.zeros((max_nodes + 1,), jnp.float32).at[idx].add(w)
+    den_src = (
+        ok.astype(jnp.float32)
+        if weights is None
+        else jnp.where(ok, weights, 0.0)
+    )
+    vals = jnp.stack([g, den_src], axis=-1)
+    idx = jnp.where(ok, node_of_doc, max_nodes)
+    both = segment_sums(idx, vals, max_nodes + 1)
     if axis_name is not None:
-        sums = jax.lax.psum(sums, axis_name)
-        den = jax.lax.psum(den, axis_name)
+        both = jax.lax.psum(both, axis_name)
+    sums, den = both[:max_nodes, 0], both[:max_nodes, 1]
     eps = jnp.float32(2.220446049250313e-16)  # DBL_EPSILON guard of rt.cc:200
     value = jnp.where(den >= eps, sums / jnp.maximum(den, eps), 0.0)
-    return tree.replace(
-        leaf_value=jnp.where(tree.is_leaf, value[:max_nodes], 0.0)
-    )
+    return tree.replace(leaf_value=jnp.where(tree.is_leaf, value, 0.0))

@@ -185,27 +185,22 @@ def oblivious_leaf_outputs(
     axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
     """Leaf values: mean pseudoresponse (ot.cc:146-152) or Newton step."""
+    from quickrank_tpu.trees.grow import segment_sums
+
     ok = doc_mask
     idx = jnp.where(ok, node_of_doc, num_leaves)
     g = jnp.where(ok, grad, 0.0)
-    sums = jnp.zeros((num_leaves + 1,), jnp.float32).at[idx].add(g)
-    if weights is None:
-        den = (
-            jnp.zeros((num_leaves + 1,), jnp.float32)
-            .at[idx]
-            .add(ok.astype(jnp.float32))
-        )
-    else:
-        den = (
-            jnp.zeros((num_leaves + 1,), jnp.float32)
-            .at[idx]
-            .add(jnp.where(ok, weights, 0.0))
-        )
+    den_src = (
+        ok.astype(jnp.float32)
+        if weights is None
+        else jnp.where(ok, weights, 0.0)
+    )
+    both = segment_sums(idx, jnp.stack([g, den_src], axis=-1), num_leaves + 1)
     if axis_name is not None:
-        sums = jax.lax.psum(sums, axis_name)
-        den = jax.lax.psum(den, axis_name)
+        both = jax.lax.psum(both, axis_name)
+    sums, den = both[:num_leaves, 0], both[:num_leaves, 1]
     eps = jnp.float32(2.220446049250313e-16)
-    return jnp.where(den >= eps, sums / jnp.maximum(den, eps), 0.0)[:num_leaves]
+    return jnp.where(den >= eps, sums / jnp.maximum(den, eps), 0.0)
 
 
 # ---------------------------------------------------------------------------

@@ -93,3 +93,22 @@ def test_lambda_sign_convention(rng):
     lam = np.asarray(lam)[0]
     assert lam[0] > 0 and lam[1] < 0
     assert np.asarray(w).min() >= 0
+
+
+def test_banded_lambda_matches_full(rng):
+    """The cutoff-banded fast path must reproduce the full pair computation
+    (swap deltas vanish beyond the cutoff for DCG/NDCG)."""
+    from quickrank_tpu.ops.lambdas import _lambda_block, _lambda_block_banded
+    from quickrank_tpu.metrics import Dcg
+
+    Q, D = 6, 48
+    scores = jnp.asarray(rng.normal(size=(Q, D)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 5, size=(Q, D)).astype(np.float32))
+    nvalid = jnp.asarray(rng.integers(10, D + 1, size=Q).astype(np.int32))
+    mask = jnp.arange(D)[None, :] < nvalid[:, None]
+    labels = jnp.where(mask, labels, 0)
+    for m in (Ndcg(10), Dcg(10), Ndcg(3)):
+        l0, w0 = _lambda_block(scores, labels, mask, nvalid, m)
+        l1, w1 = _lambda_block_banded(scores, labels, mask, nvalid, m)
+        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), atol=2e-6)
