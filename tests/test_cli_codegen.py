@@ -115,3 +115,26 @@ def test_quickscore_cli(cli_run):
         "-r", "2",
     ])
     assert rc == 0
+
+
+def test_cli_detailed_and_scores_outputs(tmp_path, splits):
+    """--scores and --detailed (per-tree SVML, driver.cc:336-360) outputs."""
+    from quickrank_tpu.cli import main
+    from quickrank_tpu.data import read_svml, write_svml
+
+    train, valid, test = splits
+    d = tmp_path
+    write_svml(train, str(d / "tr.svml"))
+    write_svml(test, str(d / "te.svml"))
+    rc = main([
+        "--algo", "MART", "--train", str(d / "tr.svml"),
+        "--test", str(d / "te.svml"), "--num-trees", "4", "--num-leaves", "4",
+        "--num-thresholds", "16", "--partial", "0",
+        "--scores", str(d / "s.txt"), "--detailed", str(d / "det.svml"),
+    ])
+    assert rc == 0
+    scores = np.loadtxt(d / "s.txt")
+    assert len(scores) == test.num_docs
+    det = read_svml(str(d / "det.svml"))
+    assert det.num_docs == test.num_docs
+    assert det.num_features == 4  # one column per tree
