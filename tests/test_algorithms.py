@@ -140,3 +140,27 @@ def test_meta_cleaver(splits):
 def test_factory_constructs_all(name):
     a = ltr_algorithm_factory(name, num_trees=5)
     assert a.NAME == name
+
+
+def test_partial_saves_and_restart(tmp_path, splits):
+    """Periodic partial model saves (<base>.T<k>.xml, mart.cc:378-381) and
+    resuming from one (--restart-train semantics)."""
+    train, _, _ = splits
+    base = str(tmp_path / "model")
+    lm = LambdaMart(ntrees=6, nleaves=4, nthresholds=16, seed=1)
+    lm.learn(
+        train, None, Ndcg(10), verbose=False,
+        partial_save=2, output_basename=base,
+    )
+    import os
+
+    snaps = sorted(p for p in os.listdir(tmp_path) if ".T" in p)
+    assert snaps == ["model.T2.xml", "model.T4.xml", "model.T6.xml"]
+    partial = LTRAlgorithm.load(str(tmp_path / "model.T4.xml"))
+    assert int(partial.ensemble.num_trees) == 4
+    # resume to 6 trees from the 4-tree snapshot
+    resumed = LambdaMart(ntrees=6, nleaves=4, nthresholds=16, seed=1)
+    resumed.ensemble = partial.ensemble
+    info = resumed.learn(train, None, Ndcg(10), verbose=False, warm_start=True)
+    assert int(resumed.ensemble.num_trees) == 6
+    assert len(info["train"]) == 2  # only the resumed iterations
