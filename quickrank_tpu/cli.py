@@ -36,6 +36,8 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--num-shards", type=int, default=0,
                    help="shard queries over this many devices (0 = single)")
+    g.add_argument("--quiet", action="store_true",
+                   help="suppress per-iteration progress output")
 
     t = p.add_argument_group("tree-based options")
     t.add_argument("--num-trees", type=int, default=1000)

@@ -85,7 +85,8 @@ def run(params: dict) -> dict:
             optimizer.line_search = loaded_ls
 
     if meta_algo:
-        algo = meta_factory(meta_algo, algo, optimizer, **p)
+        meta_params = {k: v for k, v in p.items() if k != "meta_algo"}
+        algo = meta_factory(meta_algo, algo, optimizer, **meta_params)
         optimizer = None  # consumed by the meta algorithm
 
     # -- datasets ------------------------------------------------------------
@@ -99,21 +100,33 @@ def run(params: dict) -> dict:
 
     # -- training phase (driver.cc:228-246) ----------------------------------
     if train is not None and not p.get("skip_train", False):
+        import inspect
+
+        # Optional kwargs are gated on each learner's signature: quicklearn
+        # drives every algorithm through the same flag surface
+        # (driver.cc:45-226), but e.g. the linear rankers have no partial
+        # saves to do — the flags are inert there, not an error.
+        supported = inspect.signature(algo.learn).parameters
         kwargs = {}
         if p.get("partial", 0) and p.get("model_out"):
-            kwargs = dict(
+            kwargs.update(
                 partial_save=int(p["partial"]),
                 output_basename=str(p["model_out"]).removesuffix(".xml"),
             )
         if p.get("restart_train"):
             kwargs["warm_start"] = True
         if p.get("num_shards", 0):
-            import inspect
-
             from quickrank_tpu.parallel import make_mesh
 
-            if "mesh" in inspect.signature(algo.learn).parameters:
-                kwargs["mesh"] = make_mesh(int(p["num_shards"]))
+            kwargs["mesh"] = make_mesh(int(p["num_shards"]))
+        dropped = [k for k in kwargs if k not in supported]
+        for k in dropped:
+            kwargs.pop(k)
+        if dropped and verbose:
+            print(
+                f"# note: {type(algo).__name__}.learn has no "
+                f"{'/'.join(dropped)} support; ignoring those flags"
+            )
         info = algo.learn(train, valid, train_metric, verbose=verbose, **kwargs)
         results["training"] = info
         if p.get("model_out"):

@@ -36,8 +36,12 @@ from quickrank_tpu.trees.structs import EnsembleTensors
 
 
 def _fmt_f(x: float) -> str:
+    # 9 SIGNIFICANT digits (fractional=False), matching the reference's
+    # setprecision(max_digits10) default notation (rtnode.cc:68-70) — a
+    # fractional digit cap would truncate small-magnitude thresholds and
+    # break float32 round-tripping.
     return np.format_float_positional(
-        np.float32(x), precision=9, unique=True, trim="0"
+        np.float32(x), precision=9, unique=True, trim="0", fractional=False
     )
 
 

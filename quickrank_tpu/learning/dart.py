@@ -99,7 +99,22 @@ class Dart(LambdaMart):
 
     # ------------------------------------------------------------------
 
-    def learn(self, train, valid=None, metric=None, verbose=True, mesh=None):
+    def learn(
+        self,
+        train,
+        valid=None,
+        metric=None,
+        verbose=True,
+        mesh=None,
+        warm_start=False,
+        partial_save=0,
+        output_basename="",
+    ):
+        """Train.  ``warm_start`` resumes from the current ensemble after a
+        full rescoring + per-tree contribution rebuild; ``partial_save``
+        writes <base>.T<k>.xml snapshots — the Mart-family --partial /
+        --restart-train surface (mart.cc:237-253, :378-381) applied to the
+        DART loop, which the reference lacks."""
         metric = metric or self.default_metric()
         import time as _time
 
@@ -307,6 +322,37 @@ class Dart(LambdaMart):
             w[: len(w_list)] = w_list
             return jnp.asarray(idx), jnp.asarray(w)
 
+        iter_offset = 0
+        if warm_start and self.ensemble is not None and int(
+            self.ensemble.num_trees
+        ) > 0:
+            from quickrank_tpu.learning.mart import _copy_into, rebin_ensemble
+
+            src = rebin_ensemble(self.ensemble, np.asarray(tr.step.thresholds))
+            ens = _copy_into(ens, src)
+            T0 = int(ens.num_trees)
+            iter_offset = T0
+            scores_tr = self._full_rescore(ens, tr, md)
+            m_tr = float(eval_tr(scores_tr))
+            if va is not None:
+                scores_va = self._full_rescore(ens, va, md)
+                m_va = float(eval_va(scores_va))
+            # per-tree mean |output| drives the CONTR samplers — rebuild it
+            # for the imported trees the same way fit-time tracks it
+            def _contrib_body(_, t):
+                tree = ens.tree(t)
+                d = tree.leaf_value[descend_tree_binned(tr.step.binned, tree, md)]
+                return None, jnp.sum(jnp.abs(d) * tr.step.doc_mask) / n_real
+
+            _, contribs = jax.lax.scan(
+                _contrib_body, None, jnp.arange(ens.capacity)
+            )
+            contributions = [float(c) for c in np.asarray(contribs)[:T0]]
+            best_tr = m_tr
+            best_va = m_va if va is not None else -np.inf
+            best_iter = 0
+            best_size = T0
+            best_weights = np.asarray(ens.weight)[:T0].copy()
         init_time = _time.time() - t0
         if verbose:
             print(f"# {self.NAME}: {self!r}")
@@ -431,6 +477,18 @@ class Dart(LambdaMart):
                 perf_valid_hist.append(m_va)
             else:
                 perf_valid_hist.append(m_tr)
+            if (
+                partial_save
+                and output_basename
+                and (m + iter_offset) % partial_save == 0
+            ):
+                # periodic snapshot as <base>.T<k>.xml (mart.cc:378-381)
+                from quickrank_tpu.learning.mart import _compact as _cpt
+
+                snapshot = self.ensemble
+                self.ensemble = _cpt(ens)
+                self.save(f"{output_basename}.T{m + iter_offset}.xml")
+                self.ensemble = snapshot
             if verbose and (m < 5 or m % 10 == 0 or best_improved):
                 vtxt = f" {m_va:.6f}" if va is not None else ""
                 print(
@@ -674,6 +732,27 @@ class Dart(LambdaMart):
                 "random-keep": self.random_keep,
                 "drop-on-best": int(self.drop_on_best),
             }
+        )
+        return d
+
+    @classmethod
+    def _ctor_kwargs_from_info(cls, info) -> dict:
+        """Read back the DART-specific <info> tags written by _info_dict so
+        a loaded model restores its dropout configuration (the reference's
+        Dart(xml) ctor parses the same fields, dart.cc:59-107)."""
+        g = cls._info_get
+        flag = lambda s: bool(int(s))  # noqa: E731
+        d = super()._ctor_kwargs_from_info(info)
+        d.update(
+            sample_type=g(info, "sample-type", str, "UNIFORM"),
+            normalize_type=g(info, "normalize-type", str, "TREE"),
+            adaptive_type=g(info, "adaptive-type", str, "FIXED"),
+            rate_drop=g(info, "rate-drop", float, 0.1),
+            skip_drop=g(info, "skip-drop", float, 0.0),
+            keep_drop=g(info, "keep-drop", flag, False),
+            best_on_train=g(info, "best-on-train", flag, False),
+            random_keep=g(info, "random-keep", float, 0.0),
+            drop_on_best=g(info, "drop-on-best", flag, False),
         )
         return d
 

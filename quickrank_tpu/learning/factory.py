@@ -129,11 +129,18 @@ def ltr_algorithm_factory(
 
     if restart_train and model_in is not None:
         loaded = LTRAlgorithm.load(model_in)
-        # import_model_state: move the loaded ensemble into the fresh algo
+        # import_model_state: move the loaded model state into the fresh algo
         # (hyperparameter compatibility is the caller's responsibility here,
-        # mirroring mart.cc:493-517's checks at a coarser grain)
+        # mirroring mart.cc:493-517's checks at a coarser grain).  Linear
+        # rankers import their weight vector (line_search.cc:429-443 is the
+        # same import path Cleaver uses).
         if hasattr(loaded, "ensemble") and hasattr(out, "ensemble"):
             out.ensemble = loaded.ensemble
+        elif (
+            getattr(loaded, "best_weights", None) is not None
+            and hasattr(out, "best_weights")
+        ):
+            out.best_weights = loaded.best_weights
         else:
             raise ValueError("restart-train: incompatible model types")
     return out

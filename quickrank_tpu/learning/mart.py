@@ -496,7 +496,11 @@ class Mart(LTRAlgorithm):
         if warm_start and self.ensemble is not None and int(
             self.ensemble.num_trees
         ) > 0:
-            ens = _copy_into(ens, self.ensemble)
+            # XML-loaded models carry no bin-space thresholds — rebuild them
+            # against this run's threshold tables so binned rescoring/descent
+            # routes exactly like the value-space model.
+            src = rebin_ensemble(self.ensemble, np.asarray(tr.step.thresholds))
+            ens = _copy_into(ens, src)
             start_iter = int(ens.num_trees)
             md = self._descend_depth()
             scores_tr = rescore_binned(ens, tr.step, md)
@@ -734,13 +738,38 @@ def rescore_binned(ens: EnsembleTensors, sd: StepData, max_depth: int):
     return out
 
 
+def rebin_ensemble(
+    ens: EnsembleTensors, thresholds: np.ndarray
+) -> EnsembleTensors:
+    """Fill missing bin-space split points (threshold_bin == -1, the XML
+    load sentinel) from the value-space thresholds.
+
+    By ops/binning.py construction ``bin(v) <= t  <=>  v <= thresholds[t]``,
+    so the bin-space twin of a split at value ``thr`` is the largest ``t``
+    with ``thresholds[f][t] <= thr`` — exact when ``thr`` is itself a table
+    entry (always true for self-trained models), and the closest
+    quantization for foreign models (the reference re-quantizes imported
+    models through stmap the same way, rtnode_histogram.cc:227-253)."""
+    feat = np.asarray(ens.feature)
+    tbin = np.asarray(ens.threshold_bin).copy()
+    need = (~np.asarray(ens.is_leaf)) & (tbin < 0) & (feat >= 0)
+    if not need.any():
+        return ens
+    ti, ni = np.nonzero(need)
+    rows = np.asarray(thresholds)[feat[ti, ni]]  # [K, B]
+    thr = np.asarray(ens.threshold)[ti, ni][:, None]
+    tbin[ti, ni] = np.clip((rows <= thr).sum(axis=1) - 1, 0, None)
+    return ens.replace(threshold_bin=jnp.asarray(tbin))
+
+
 def _copy_into(dst: EnsembleTensors, src: EnsembleTensors) -> EnsembleTensors:
     """Copy src's live trees into the head of dst (capacity grow for warm
-    starts; node budgets must match)."""
+    starts; src's node budget must fit dst's)."""
     T = int(src.num_trees)
-    assert dst.max_nodes == src.max_nodes, (dst.max_nodes, src.max_nodes)
+    assert dst.max_nodes >= src.max_nodes, (dst.max_nodes, src.max_nodes)
     assert dst.capacity >= T, (dst.capacity, T)
-    put = lambda d, s: d.at[:T].set(s[:T])  # noqa: E731
+    n = src.max_nodes
+    put = lambda d, s: d.at[:T, :n].set(s[:T])  # noqa: E731
     return dst.replace(
         feature=put(dst.feature, src.feature),
         threshold=put(dst.threshold, src.threshold),
@@ -749,7 +778,7 @@ def _copy_into(dst: EnsembleTensors, src: EnsembleTensors) -> EnsembleTensors:
         right=put(dst.right, src.right),
         is_leaf=put(dst.is_leaf, src.is_leaf),
         leaf_value=put(dst.leaf_value, src.leaf_value),
-        weight=put(dst.weight, src.weight),
+        weight=dst.weight.at[:T].set(src.weight[:T]),
         num_trees=jnp.asarray(T, jnp.int32),
     )
 

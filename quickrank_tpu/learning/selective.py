@@ -183,3 +183,17 @@ class LambdaMartSelective(LambdaMart):
             }
         )
         return d
+
+    @classmethod
+    def _ctor_kwargs_from_info(cls, info) -> dict:
+        g = cls._info_get
+        d = super()._ctor_kwargs_from_info(info)
+        d.update(
+            sampling_iterations=g(info, "sampling-iterations", int, 1),
+            rank_sampling_factor=g(info, "rank-sampling-factor", float, 1.0),
+            random_sampling_factor=g(info, "random-sampling-factor", float, 0.0),
+            normalization_factor=g(info, "normalization-factor", float, 100),
+            adaptive_strategy=g(info, "adaptive-strategy", str, "NO"),
+            negative_strategy=g(info, "negative-strategy", str, "RATIO"),
+        )
+        return d

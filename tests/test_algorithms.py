@@ -164,3 +164,58 @@ def test_partial_saves_and_restart(tmp_path, splits):
     info = resumed.learn(train, None, Ndcg(10), verbose=False, warm_start=True)
     assert int(resumed.ensemble.num_trees) == 6
     assert len(info["train"]) == 2  # only the resumed iterations
+
+
+def test_restart_from_xml_matches_uninterrupted(tmp_path, splits):
+    """save -> load -> warm restart must CONTINUE identically: loaded trees
+    get their bin-space split points rebuilt (rebin_ensemble), so the
+    rescoring pass and all later split decisions match the uninterrupted
+    run bit-for-bit."""
+    train, _, _ = splits
+    full = LambdaMart(ntrees=6, nleaves=4, nthresholds=16, seed=1)
+    full.learn(train, None, Ndcg(10), verbose=False)
+
+    part = LambdaMart(ntrees=3, nleaves=4, nthresholds=16, seed=1)
+    part.learn(train, None, Ndcg(10), verbose=False)
+    path = str(tmp_path / "part.xml")
+    part.save(path)
+
+    resumed = LambdaMart(ntrees=6, nleaves=4, nthresholds=16, seed=1)
+    resumed.ensemble = LTRAlgorithm.load(path).ensemble
+    resumed.learn(train, None, Ndcg(10), verbose=False, warm_start=True)
+
+    np.testing.assert_allclose(
+        resumed.score_dataset(train), full.score_dataset(train),
+        rtol=1e-6, atol=1e-7,
+    )
+
+
+def test_dart_partial_saves_and_resume(tmp_path, splits):
+    """DART snapshots (<base>.T<k>.xml) and mid-run resume — the Mart-family
+    --partial/--restart-train surface applied to the DART loop."""
+    import os
+
+    from quickrank_tpu.learning.dart import Dart
+
+    train, _, _ = splits
+    base = str(tmp_path / "dart")
+    a = Dart(ntrees=6, nleaves=4, nthresholds=16, seed=3, rate_drop=0.3)
+    a.learn(
+        train, None, Ndcg(10), verbose=False,
+        partial_save=2, output_basename=base,
+    )
+    snaps = sorted(p for p in os.listdir(tmp_path) if ".T" in p)
+    assert snaps, "no DART snapshots written"
+    mid = snaps[len(snaps) // 2]
+    partial = LTRAlgorithm.load(str(tmp_path / mid))
+    assert type(partial) is Dart
+    n0 = int(partial.ensemble.num_trees)
+
+    resumed = Dart(ntrees=6, nleaves=4, nthresholds=16, seed=3, rate_drop=0.3)
+    resumed.ensemble = partial.ensemble
+    info = resumed.learn(train, None, Ndcg(10), verbose=False, warm_start=True)
+    # rollback keeps the best model, which is never worse than the imported one
+    assert int(resumed.ensemble.num_trees) >= n0
+    s = resumed.score_dataset(train)
+    assert np.isfinite(s).all()
+    assert info["train"], "no resumed iterations recorded"

@@ -1,0 +1,109 @@
+"""End-to-end CLI coverage: every --algo value trains under DEFAULT flags
+(notably --partial's default of 100, which once crashed non-Mart learners),
+saves a model, and the model round-trips through XML to produce scores —
+the uniform driver surface of quicklearn (src/driver/driver.cc:45-226)."""
+
+import numpy as np
+import pytest
+
+from quickrank_tpu.cli import main
+from quickrank_tpu.data import write_svml
+from quickrank_tpu.learning.base import LTRAlgorithm
+
+ALGOS = [
+    "MART",
+    "LAMBDAMART",
+    "OBVMART",
+    "OBVLAMBDAMART",
+    "DART",
+    "RANKBOOST",
+    "RANDOMFOREST",
+    "LAMBDAMART-SELECTIVE",
+    "STOCHASTIC-NEGATIVE",
+    "COORDASC",
+    "LINESEARCH",
+    "CUSTOM",
+]
+
+
+@pytest.fixture(scope="module")
+def svml_dir(tmp_path_factory, splits):
+    d = tmp_path_factory.mktemp("e2e")
+    train, valid, test = splits
+    write_svml(train, str(d / "train.svml"))
+    write_svml(valid, str(d / "valid.svml"))
+    write_svml(test, str(d / "test.svml"))
+    return d
+
+
+def _run_cli(d, out, extra):
+    # NOTE: no --partial escape hatch — the default (100) must be harmless
+    # for every learner.
+    rc = main(
+        [
+            "--train", str(d / "train.svml"),
+            "--valid", str(d / "valid.svml"),
+            "--test", str(d / "test.svml"),
+            "--model-out", str(out),
+            "--num-trees", "4",
+            "--num-leaves", "4",
+            "--num-thresholds", "16",
+            "--tree-depth", "2",
+            "--end-after-rounds", "0",
+            "--max-iterations", "3",
+            "--num-samples", "6",
+            "--quiet",
+        ]
+        + extra
+    )
+    assert rc == 0
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_cli_trains_all_algos_default_flags(svml_dir, tmp_path, splits, algo):
+    out = tmp_path / f"{algo}.xml"
+    _run_cli(svml_dir, out, ["--algo", algo])
+    assert out.exists()
+    loaded = LTRAlgorithm.load(str(out))
+    scores = loaded.score_dataset(splits[2])
+    assert scores.shape == (splits[2].num_docs,)
+    assert np.isfinite(scores).all()
+
+
+def test_cli_metacleaver_default_flags(svml_dir, tmp_path, splits):
+    out = tmp_path / "meta.xml"
+    _run_cli(
+        svml_dir,
+        out,
+        [
+            "--algo", "LAMBDAMART",
+            "--meta-algo", "METACLEAVER",
+            "--final-num-trees", "6",
+            "--meta-end-after-rounds", "2",
+        ],
+    )
+    assert out.exists()
+    loaded = LTRAlgorithm.load(str(out))
+    scores = loaded.score_dataset(splits[2])
+    assert scores.shape == (splits[2].num_docs,)
+    assert np.isfinite(scores).all()
+
+
+def test_cli_restart_train_non_mart_warns_not_crashes(svml_dir, tmp_path):
+    """--restart-train on a learner without warm_start must not crash
+    (the flag is reported as unsupported, not forwarded blindly)."""
+    out = tmp_path / "ca.xml"
+    _run_cli(svml_dir, out, ["--algo", "COORDASC"])
+    rc = main(
+        [
+            "--algo", "COORDASC",
+            "--train", str(svml_dir / "train.svml"),
+            "--model-in", str(out),
+            "--restart-train",
+            "--max-iterations", "2",
+            "--num-samples", "6",
+            "--model-out", str(tmp_path / "ca2.xml"),
+            "--quiet",
+        ]
+    )
+    assert rc == 0

@@ -79,3 +79,48 @@ def test_oblivious_fast_scorer_after_load(tmp_path, splits):
     np.testing.assert_allclose(
         a.score_dataset(test), b.score_dataset(test), rtol=1e-5, atol=1e-6
     )
+
+
+def test_threshold_significant_digit_roundtrip():
+    """_fmt_f must keep 9 SIGNIFICANT digits so any float32 threshold —
+    including small magnitudes — parses back to the identical float32
+    (reference: setprecision(max_digits10), rtnode.cc:68-70)."""
+    from quickrank_tpu.io.xml_model import _fmt_f
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        rng.uniform(-1e4, 1e4, 200).astype(np.float32),
+        (rng.uniform(1e-7, 1e-3, 200) * rng.choice([-1, 1], 200)).astype(
+            np.float32
+        ),
+        np.asarray([0.0003456789, 1e-30, 3.4e38, 0.0], np.float32),
+    ])
+    for v in vals:
+        assert np.float32(float(_fmt_f(v))) == v, v
+
+
+def test_dart_xml_restores_dropout_config(tmp_path, splits):
+    """A loaded DART model must reconstruct its dropout configuration, not
+    silently fall back to defaults (the reference's Dart(xml) ctor parses
+    these fields)."""
+    from quickrank_tpu.learning.dart import Dart
+
+    train, _, _ = splits
+    a = Dart(
+        ntrees=3, nleaves=4, nthresholds=16, seed=1,
+        sample_type="WEIGHTED", normalize_type="FOREST",
+        adaptive_type="PLUS1_DIV2", rate_drop=0.35, skip_drop=0.2,
+        keep_drop=True, best_on_train=True, random_keep=0.4,
+        drop_on_best=True,
+    )
+    a.learn(train, None, Ndcg(10), verbose=False)
+    path = str(tmp_path / "dart.xml")
+    a.save(path)
+    b = LTRAlgorithm.load(path)
+    assert type(b) is Dart
+    for attr in (
+        "sample_type", "normalize_type", "adaptive_type", "rate_drop",
+        "skip_drop", "keep_drop", "best_on_train", "random_keep",
+        "drop_on_best",
+    ):
+        assert getattr(b, attr) == getattr(a, attr), attr
