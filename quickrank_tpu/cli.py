@@ -28,6 +28,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save partial model every this many iterations")
     g.add_argument("--train", help="training file (SVML/LETOR)")
     g.add_argument("--valid", help="validation file")
+    g.add_argument("--features",
+                   help="feature-subset file: one 1-based feature id per "
+                        "line; datasets are restricted to these columns")
     g.add_argument("--model-in", help="input model file")
     g.add_argument("--model-out", help="output model file")
     g.add_argument("--skip-train", action="store_true")
@@ -97,7 +100,18 @@ def build_parser() -> argparse.ArgumentParser:
     o.add_argument("--pruning-rate", type=float, default=0.5)
     o.add_argument("--with-line-search", action="store_true")
     o.add_argument("--line-search-model")
-    o.add_argument("--opt-model-out")
+    o.add_argument("--opt-model",
+                   help="optimizer model file (output when optimizing, "
+                        "input when no --opt-algo is given)")
+    o.add_argument("--opt-algo-model",
+                   help="output file for the optimized LTR model")
+    o.add_argument("--opt-model-out",
+                   help="deprecated alias for --opt-algo-model")
+    o.add_argument("--train-partial",
+                   help="partial-scores SVML file (loaded if present, "
+                        "else extracted and saved)")
+    o.add_argument("--valid-partial",
+                   help="partial-scores SVML file for the validation split")
 
     te = p.add_argument_group("testing options")
     te.add_argument("--test-metric", default="NDCG")

@@ -36,6 +36,26 @@ def load_dataset(path: str, verbose: bool = True) -> Dataset:
     return ds
 
 
+def _read_feature_file(path: str) -> np.ndarray:
+    """1-based feature ids, one per line ('#' comments allowed) -> 0-based."""
+    ids = []
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                ids.append(int(line))
+    if not ids:
+        raise ValueError(f"{path}: empty feature file")
+    return np.asarray(sorted(set(ids)), np.int64) - 1
+
+
+def _select_features(ds: Dataset, keep: np.ndarray) -> Dataset:
+    qids = np.repeat(ds.qids, ds.docs_per_query())
+    return Dataset.from_arrays(
+        ds.features[:, keep], ds.labels, qids, name=ds.name
+    )
+
+
 def run(params: dict) -> dict:
     """Full pipeline from a flat parameter dict (the pmap equivalent)."""
     p = params
@@ -63,7 +83,18 @@ def run(params: dict) -> dict:
 
     meta_algo = p.get("meta_algo")
     optimizer = None
-    if p.get("opt_algo") or meta_algo:
+    if p.get("opt_model") and not p.get("opt_algo") and not meta_algo:
+        # --opt-model doubles as the optimizer-model INPUT when no --opt-algo
+        # asks for a fresh search (optimization_factory.cc:85-92)
+        import os
+
+        from quickrank_tpu.optimization.cleaver import Cleaver
+
+        if os.path.exists(p["opt_model"]):
+            optimizer = Cleaver.load(p["opt_model"])
+            if verbose:
+                print(f"# optimizer model loaded from {p['opt_model']}")
+    if optimizer is None and (p.get("opt_algo") or meta_algo):
         optimizer = optimization_factory(
             opt_algo=p.get("opt_algo", "EPRUNING"),
             opt_method=p.get("opt_method", "QUALITY_LOSS"),
@@ -97,6 +128,17 @@ def run(params: dict) -> dict:
         valid = load_dataset(p["valid"], verbose)
     if p.get("test"):
         test = load_dataset(p["test"], verbose)
+    if p.get("features"):
+        # Restrict every split to the listed feature columns (quicklearn
+        # declares --features, quicklearn.cc:197, but leaves the filtering
+        # TODO in driver.cc:110 — implemented here).
+        keep = _read_feature_file(p["features"])
+        train, valid, test = (
+            _select_features(ds, keep) if ds is not None else None
+            for ds in (train, valid, test)
+        )
+        if verbose:
+            print(f"# restricted to {len(keep)} features from {p['features']}")
 
     # -- training phase (driver.cc:228-246) ----------------------------------
     if train is not None and not p.get("skip_train", False):
@@ -135,13 +177,51 @@ def run(params: dict) -> dict:
                 print(f"# model saved to {p['model_out']}")
 
     # -- optimization phase (driver.cc:248-324) ------------------------------
-    if optimizer is not None and train is not None:
+    if optimizer is not None and (
+        train is not None or p.get("train_partial")
+    ):
+        import os
+
+        # Partial-score datasets: load from --train-partial/--valid-partial
+        # when the file exists, else extract (and persist when a path is
+        # given) — driver.cc:270-298.
+        ptrain = pvalid = None
+        if optimizer.need_partial_score_dataset():
+            tp, vp = p.get("train_partial"), p.get("valid_partial")
+            if tp and os.path.exists(tp):
+                ptrain = load_dataset(tp, verbose)
+            elif train is not None:
+                ptrain = optimizer._partial_dataset(algo, train)
+                if tp:
+                    write_svml(ptrain, tp)
+                    if verbose:
+                        print(f"# partial train scores saved to {tp}")
+            if vp and os.path.exists(vp):
+                pvalid = load_dataset(vp, verbose)
+            elif valid is not None:
+                pvalid = optimizer._partial_dataset(algo, valid)
+                if vp:
+                    write_svml(pvalid, vp)
+                    if verbose:
+                        print(f"# partial valid scores saved to {vp}")
         opt_info = optimizer.optimize(
-            algo, train, valid, train_metric, verbose=verbose
+            algo, train, valid, train_metric, verbose=verbose,
+            ptrain=ptrain, pvalid=pvalid,
         )
         results["optimization"] = opt_info
-        if p.get("opt_model_out") or p.get("model_out"):
-            algo.save(p.get("opt_model_out") or p["model_out"])
+        if p.get("opt_model"):
+            optimizer.save(p["opt_model"])
+            if verbose:
+                print(f"# optimizer model saved to {p['opt_model']}")
+        # --opt-algo-model: the optimized ranker (--opt-model-out kept as a
+        # back-compat alias; falls back to --model-out)
+        out = (
+            p.get("opt_algo_model")
+            or p.get("opt_model_out")
+            or p.get("model_out")
+        )
+        if out:
+            algo.save(out)
 
     # -- testing phase (driver.cc:326-385) -----------------------------------
     if test is not None:

@@ -117,10 +117,24 @@ class Cleaver(Optimization):
             metric.evaluate_dataset(padded, pack_doc_values(padded, scores))
         )
 
-    def optimize(self, algo, train, valid=None, metric=None, verbose=True) -> dict:
+    def optimize(
+        self,
+        algo,
+        train,
+        valid=None,
+        metric=None,
+        verbose=True,
+        ptrain=None,
+        pvalid=None,
+    ) -> dict:
+        """Prune + re-weight.  ``ptrain``/``pvalid`` optionally supply
+        precomputed partial-score datasets (the driver's --train-partial /
+        --valid-partial reuse path, driver.cc:270-298)."""
         metric = metric or algo.default_metric()
-        ptrain = self._partial_dataset(algo, train)
-        pvalid = self._partial_dataset(algo, valid) if valid is not None else None
+        if ptrain is None:
+            ptrain = self._partial_dataset(algo, train)
+        if pvalid is None and valid is not None:
+            pvalid = self._partial_dataset(algo, valid)
         T = ptrain.num_features
 
         window = self.last_estimators_to_optimize or T
@@ -236,15 +250,18 @@ class Cleaver(Optimization):
         w = jnp.asarray(weights, jnp.float32)
         base = X @ w
 
-        def eval_batch(scores_batch):
-            f = jax.jit(
-                jax.vmap(
-                    lambda s: metric.evaluate_padded(
-                        padded, pack_doc_values(padded, s)
-                    )
+        # jit built ONCE — jax.jit caches on function identity, so building
+        # it inside eval_batch would re-trace on every greedy pick
+        _eval_jit = jax.jit(
+            jax.vmap(
+                lambda s: metric.evaluate_padded(
+                    padded, pack_doc_values(padded, s)
                 )
             )
-            return np.asarray(f(scores_batch))
+        )
+
+        def eval_batch(scores_batch):
+            return np.asarray(_eval_jit(scores_batch))
 
         if method == "QUALITY_LOSS":
             cand = base[None, :] - (w[start:T, None] * X.T[start:T])
@@ -297,6 +314,104 @@ class Cleaver(Optimization):
             return set(int(x) for x in sets[best])
 
         raise AssertionError(method)
+
+    # -- optimizer-model XML (Cleaver::get_xml_model, cleaver.cc:111-150;
+    #    Optimization::save/load, optimization.cc:36-80) -----------------
+
+    def _to_xml(self):
+        import xml.etree.ElementTree as ET
+
+        from quickrank_tpu.io.xml_model import _fmt_f
+
+        root = ET.Element("optimizer")
+        info = ET.SubElement(root, "info")
+        ET.SubElement(info, "opt-algo").text = self.NAME
+        ET.SubElement(info, "opt-method").text = self.pruning_method
+        ET.SubElement(info, "pruning-rate").text = str(self.pruning_rate)
+        if self.line_search is not None:
+            # embed the line-search hyperparams as <line-search> — the
+            # reference grafts the LS model's <info> under that tag
+            # (cleaver.cc:126-135)
+            ls_info = self.line_search._to_xml().find("info")
+            ls_info.tag = "line-search"
+            root.append(ls_info)
+        ens = ET.SubElement(root, "ensemble")
+        if self.weights_ is not None:
+            for i, w in enumerate(self.weights_):
+                t = ET.SubElement(ens, "tree")
+                ET.SubElement(t, "index").text = str(i + 1)
+                ET.SubElement(t, "weight").text = _fmt_f(w)
+        return root
+
+    def save(self, path: str) -> None:
+        import xml.etree.ElementTree as ET
+
+        tree = ET.ElementTree(self._to_xml())
+        ET.indent(tree, space="\t")
+        with open(path, "wb") as f:
+            tree.write(f)
+
+    @classmethod
+    def _from_xml(cls, root) -> "Cleaver":
+        info = root.find("info")
+        get = lambda tag, cast, default: (  # noqa: E731
+            cast(info.find(tag).text)
+            if info.find(tag) is not None and info.find(tag).text
+            else default
+        )
+        ls = None
+        ls_el = root.find("line-search")
+        if ls_el is not None:
+            g = lambda t, c, d: (  # noqa: E731
+                c(ls_el.find(t).text) if ls_el.find(t) is not None else d
+            )
+            ls = LineSearch(
+                num_points=g("num-samples", int, 21),
+                window_size=g("window-size", float, 10.0),
+                reduction_factor=g("reduction-factor", float, 0.95),
+                max_iterations=g("max-iterations", int, 100),
+                max_failed_vali=g("max-failed-vali", int, 20),
+                adaptive=g(
+                    "adaptive",
+                    lambda s: s.strip().lower() in ("1", "true"),
+                    False,
+                ),
+                train_only_last=g("train-only-last", int, 0),
+            )
+        out = cls(
+            pruning_method=get("opt-method", str, "QUALITY_LOSS"),
+            pruning_rate=get("pruning-rate", float, 0.5),
+            line_search=ls,
+        )
+        # full model: per-tree weights under <ensemble> (cleaver.cc:88-107)
+        trees = root.findall("ensemble/tree")
+        if trees:
+            size = max(int(t.find("index").text) for t in trees)
+            w = np.zeros(size, np.float64)
+            for t in trees:
+                w[int(t.find("index").text) - 1] = float(t.find("weight").text)
+            out.weights_ = w
+        return out
+
+    @staticmethod
+    def load(path: str) -> "Cleaver":
+        """Optimization::load_model_from_file (optimization.cc:50-80)."""
+        import xml.etree.ElementTree as ET
+
+        root = ET.parse(path).getroot()
+        if root.tag != "optimizer":
+            raise ValueError(f"{path}: not an optimizer model")
+        name = root.find("info/opt-algo").text.strip()
+        if name not in ("CLEAVER", "EPRUNING"):
+            raise ValueError(f"unknown optimizer type {name!r}")
+        return Cleaver._from_xml(root)
+
+    def apply_weights(self, algo) -> None:
+        """Re-apply a loaded optimizer's weights to a ranker without
+        re-running the search (the testing path of a saved --opt-model)."""
+        if self.weights_ is None:
+            raise RuntimeError("Cleaver: no stored weights to apply")
+        algo.update_weights(self.weights_)
 
 
 def _filter_columns(ds: Dataset, keep: np.ndarray) -> Dataset:

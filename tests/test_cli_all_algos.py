@@ -107,3 +107,21 @@ def test_cli_restart_train_non_mart_warns_not_crashes(svml_dir, tmp_path):
         ]
     )
     assert rc == 0
+
+
+def test_cli_features_file_restricts_columns(svml_dir, tmp_path, splits):
+    """--features keeps only the listed columns (quicklearn.cc:197; the
+    reference left the filtering TODO, driver.cc:108-110)."""
+    feats = tmp_path / "feats.txt"
+    feats.write_text("1\n3\n5\n7\n# comment\n9\n")
+    out = tmp_path / "m.xml"
+    rc = main([
+        "--algo", "MART", "--train", str(svml_dir / "train.svml"),
+        "--num-trees", "3", "--num-leaves", "4", "--num-thresholds", "16",
+        "--features", str(feats), "--model-out", str(out), "--quiet",
+    ])
+    assert rc == 0
+    loaded = LTRAlgorithm.load(str(out))
+    # the model only references the 5 kept columns (0-based < 5)
+    f = np.asarray(loaded.ensemble.feature)
+    assert f.max() < 5
