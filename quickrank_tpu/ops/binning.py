@@ -56,8 +56,33 @@ def build_thresholds(
 
     Returns ``(thresholds [F, B], counts [F])`` with B = max real count,
     optionally rounded up to ``max_bins`` alignment.
+
+    Dispatches to the multithreaded C++ binner (native/binner.cc) when
+    ``nthresholds > 0``; the per-feature numpy loop below is the fallback
+    and the ``nthresholds == 0`` ("all unique values") path.
     """
     N, F = features.shape
+    if nthresholds > 0:
+        try:
+            from quickrank_tpu.ops._binning_native import (
+                build_thresholds as _native_build,
+            )
+
+            out, counts = _native_build(features, nthresholds)
+        except Exception:
+            pass
+        else:
+            B = int(counts.max())
+            if max_bins is not None:
+                B = max(B, max_bins)
+            if B < out.shape[1]:
+                out = np.ascontiguousarray(out[:, :B])
+            elif B > out.shape[1]:
+                out = np.pad(
+                    out, ((0, 0), (0, B - out.shape[1])),
+                    constant_values=FLT_MAX,
+                )
+            return out, counts
     per_feature = []
     counts = np.zeros(F, dtype=np.int64)
     for f in range(F):
@@ -87,8 +112,15 @@ def apply_bins(features: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
 
     Equivalent to the stmap built by RTRootHistogram
     (rtnode_histogram.cc:227-253): cumulative-bin id per doc per feature.
+    Native C++ fast path; per-feature numpy searchsorted fallback.
     """
     N, F = features.shape
+    try:
+        from quickrank_tpu.ops._binning_native import apply_bins as _native_apply
+
+        return _native_apply(features, thresholds)
+    except Exception:
+        pass
     out = np.empty((N, F), dtype=np.int32)
     for f in range(F):
         # side='left': first index where thresholds[idx] >= v

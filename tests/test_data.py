@@ -131,3 +131,49 @@ def test_native_svml_parser_matches_numpy(tmp_path, splits):
     np.testing.assert_allclose(nat.labels, ref.labels)
     np.testing.assert_array_equal(nat.query_offsets, ref.query_offsets)
     np.testing.assert_array_equal(nat.qids, ref.qids)
+
+
+def test_native_binner_matches_numpy(rng):
+    """native/binner.cc must reproduce the numpy threshold build and
+    quantization bit-for-bit (including the equi-width float32 grid)."""
+    pytest.importorskip("quickrank_tpu.ops._binning_native")
+    from quickrank_tpu.ops import _binning_native as nat
+    from quickrank_tpu.ops.binning import FLT_MAX
+
+    N, F = 50_000, 12
+    X = rng.normal(size=(N, F)).astype(np.float32)
+    X[:, 1] = rng.integers(0, 5, N)   # low cardinality
+    X[:, 2] = 1.5                     # constant
+    X[:, 3] = -np.abs(X[:, 3])        # negative
+    X[:, 4] = rng.integers(0, 700, N)  # cardinality > nthresholds
+
+    for nth in (16, 255):
+        th_n, c_n = nat.build_thresholds(X, nth)
+        # numpy oracle (the loop in ops/binning.py)
+        counts = np.zeros(F, np.int64)
+        rows = []
+        for f in range(F):
+            uniq = np.unique(X[:, f])
+            if len(uniq) <= nth:
+                th = np.concatenate([uniq, [FLT_MAX]]).astype(np.float32)
+            else:
+                fmin, fmax = np.float32(uniq[0]), np.float32(uniq[-1])
+                step = np.float32(abs(fmax - fmin)) / np.float32(nth)
+                th = np.concatenate([
+                    (fmin + step * np.arange(nth, dtype=np.float32)),
+                    [FLT_MAX],
+                ]).astype(np.float32)
+            rows.append(th)
+            counts[f] = len(th)
+        B = int(counts.max())
+        ref = np.full((F, B), FLT_MAX, np.float32)
+        for f in range(F):
+            ref[f, : counts[f]] = rows[f]
+        assert (c_n == counts).all()
+        np.testing.assert_array_equal(th_n[:, :B], ref)
+
+        got = nat.apply_bins(X, ref)
+        want = np.empty((N, F), np.int32)
+        for f in range(F):
+            want[:, f] = np.searchsorted(ref[f], X[:, f], side="left")
+        np.testing.assert_array_equal(got, want)
