@@ -1,26 +1,32 @@
-"""Headline benchmark: batched ensemble scoring throughput (docs/sec/chip).
+"""Headline benchmark: scoring throughput + LambdaMART training time.
 
-Counterpart of the reference's quickscore harness (src/quickscore.cc:96-121):
-compiled-C per-doc scoring of a tree model.  ``vs_baseline`` compares against
-the SAME 1000-tree / depth-4 model scored by the reference's own generated-C
-oblivious path (our io/codegen.py emits the generate_oblivious.cc form),
-compiled with the reference's release flags (-O3 -march=native) and measured
-on THIS host's CPU: 3.37e-6 s/doc = ~297k docs/s single-threaded (the
-reference's quickscore scoring loop is serial, quickscore.cc:100-106; this
-4-core host would top out around ~1.2M docs/s if it were parallelized).
+Prints ONE JSON line.  The headline metric is batched ensemble-scoring
+throughput (docs/sec/chip), the counterpart of the reference's quickscore
+harness (src/quickscore.cc:96-121); ``vs_baseline`` compares against the
+SAME 1000-tree / depth-4 model scored by the reference's own generated-C
+oblivious path compiled with its release flags (-O3 -march=native) on this
+host — reproduce the constant with ``python scripts/c_baseline.py`` (same
+model seed/shapes, serial scoring loop like quickscore.cc:100-106).
 
-The 2.78e-9 s/doc figure in documentation/quickscore.md:35-37 is for an
-unspecified (clearly much smaller) example model — at 1000 trees it would
-imply 2.8 fs per tree-doc, beyond any hardware — so the same-model
-same-machine measurement above is the honest baseline.
+The ``extra`` object carries the training-time metric BASELINE.json names:
+steady-state LambdaMART seconds/tree at MSLR-WEB30K scale (2.6M docs, 136
+features, 255 bins, 16 leaves, NDCG@10), for both reference-faithful
+best-first growth and the TPU level-wise mode.  Steady state = mean
+per-iteration wall time excluding the first (jit-compile) iteration, read
+from the learner's ``iter_seconds`` history.
+
+Env knobs: QRTPU_BENCH_TRAIN=0 skips the training section;
+QRTPU_BENCH_TRAIN_QUERIES overrides the query count (default 19000 on TPU,
+720 elsewhere so CPU runs stay bounded).
 
 Run on whatever jax.devices() offers (one real TPU chip under the driver).
-Prints ONE JSON line.  Secondary diagnostics go to stderr.
+Secondary diagnostics go to stderr.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -28,8 +34,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Measured on this host (see module docstring): reference-style compiled-C
-# oblivious scorer, same 1000-tree model, single thread.
+# Measured on this host via scripts/c_baseline.py (reference-style compiled-C
+# oblivious scorer, same 1000-tree model, single thread).
 BASELINE_DOCS_PER_SEC = 296996.0
 
 
@@ -37,13 +43,10 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def main():
+def bench_scoring(on_tpu: bool) -> float:
     from quickrank_tpu.ops.oblivious import score_oblivious
     from quickrank_tpu.ops.pallas_oblivious import score_oblivious_pallas
     from quickrank_tpu.trees.oblivious import ObliviousEnsemble
-
-    dev = jax.devices()[0]
-    log(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
 
     # MSN1-like feature count; 1000-tree / 16-leaf (depth-4 oblivious)
     # LambdaMART-sized model (quicklearn defaults, src/quicklearn.cc:97-140).
@@ -65,22 +68,22 @@ def main():
     )
 
     # Chain rounds through an accumulator so no round can be elided or
-    # overlapped — every execution is on the critical path.
-    on_tpu = dev.platform == "tpu"
-
+    # overlapped — every execution is on the critical path.  feats/ens are
+    # jit ARGUMENTS (closure constants would be embedded in the program and
+    # constant-folded at compile time — very slow for a 71 MB matrix).
     @jax.jit
-    def run(acc):
+    def run(acc, feats_, ens_):
         if on_tpu:
-            return acc + score_oblivious_pallas(feats, ens, tree_block=250)
-        return acc + score_oblivious(feats, ens, tree_chunk=125)
+            return acc + score_oblivious_pallas(feats_, ens_, tree_block=250)
+        return acc + score_oblivious(feats_, ens_, tree_chunk=125)
 
     acc = jnp.zeros((N,), jnp.float32)
-    acc = run(acc)
+    acc = run(acc, feats, ens)
     acc.block_until_ready()  # compile + warm
     t0 = time.perf_counter()
     rounds = 10
     for _ in range(rounds):
-        acc = run(acc)
+        acc = run(acc, feats, ens)
     acc.block_until_ready()
     dt = (time.perf_counter() - t0) / rounds
     docs_per_sec = N / dt
@@ -88,6 +91,76 @@ def main():
         f"# scored {N} docs x {T} trees in {dt * 1e3:.2f} ms/round "
         f"-> {docs_per_sec:,.0f} docs/s"
     )
+    return docs_per_sec
+
+
+def _timing_dataset(num_queries: int):
+    """MSLR-shaped dataset for TIMING only: float32 normals + random graded
+    labels (training cost does not depend on label learnability; quality
+    floors live in tests/, not here).  Query-length distribution matches
+    data/synthetic.py (integers in [38, 232), mean ~116 like MSN1)."""
+    from quickrank_tpu.data.dataset import Dataset
+
+    rng = np.random.default_rng(11)
+    counts = rng.integers(38, 232, size=num_queries)
+    n = int(counts.sum())
+    feats = rng.standard_normal((n, 136), dtype=np.float32)
+    labels = rng.integers(0, 5, n).astype(np.float32)
+    qids = np.repeat(np.arange(1, num_queries + 1), counts)
+    return Dataset.from_arrays(feats, labels, qids, name="bench-timing")
+
+
+def bench_training(on_tpu: bool) -> dict:
+    from quickrank_tpu.learning.lambdamart import LambdaMart
+    from quickrank_tpu.metrics.metrics import Ndcg
+
+    num_queries = int(
+        os.environ.get("QRTPU_BENCH_TRAIN_QUERIES", 19000 if on_tpu else 720)
+    )
+    t0 = time.perf_counter()
+    train = _timing_dataset(num_queries)
+    gen_s = time.perf_counter() - t0
+    log(
+        f"# training bench: {train.num_docs} docs / {train.num_queries} "
+        f"queries generated in {gen_s:.1f}s"
+    )
+
+    out: dict = {"train_docs": train.num_docs, "train_queries": train.num_queries}
+    ntrees = 6
+    for growth in ("level", "best"):
+        lm = LambdaMart(
+            ntrees=ntrees, nleaves=16, shrinkage=0.1, nthresholds=255,
+            growth=growth, seed=1, max_depth=4 if growth == "level" else 0,
+        )
+        t0 = time.perf_counter()
+        hist = lm.learn(train, None, Ndcg(10), verbose=False)
+        total = time.perf_counter() - t0
+        iters = hist["iter_seconds"]
+        steady = float(np.mean(iters[1:])) if len(iters) > 1 else float(iters[0])
+        out[f"lambdamart_train_seconds_per_tree_{growth}"] = steady
+        out[f"lambdamart_train_docs_per_sec_{growth}"] = train.num_docs / steady
+        log(
+            f"# {growth}-growth: init {hist['init_seconds']:.1f}s, "
+            f"compile-iter {iters[0]:.1f}s, steady {steady:.3f} s/tree "
+            f"({total:.1f}s total for {ntrees} trees)"
+        )
+    return out
+
+
+def main():
+    # Persistent compile cache: the driver's end-of-round bench (and repeat
+    # runs) skip the 30-140 s first-compile cost of the training step.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/qrtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+    log(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
+
+    docs_per_sec = bench_scoring(on_tpu)
+
+    extra: dict = {}
+    if os.environ.get("QRTPU_BENCH_TRAIN", "1") != "0":
+        extra = bench_training(on_tpu)
 
     print(
         json.dumps(
@@ -96,6 +169,7 @@ def main():
                 "value": docs_per_sec,
                 "unit": "docs/sec/chip",
                 "vs_baseline": docs_per_sec / BASELINE_DOCS_PER_SEC,
+                "extra": extra,
             }
         )
     )

@@ -512,6 +512,7 @@ class Mart(LTRAlgorithm):
 
         root_key = jax.random.PRNGKey(self.seed)
         hist_tr, hist_va = [], []
+        iter_seconds: list[float] = []
         best_va, best_it = -np.inf, -1
         if verbose:
             print(f"# {self.NAME}: {self!r}")
@@ -519,6 +520,7 @@ class Mart(LTRAlgorithm):
         t_train = time.time()
         presence = tr.step.doc_mask
         for m in range(start_iter, self.ntrees):
+            t_iter = time.time()
             key = jax.random.fold_in(root_key, m)
             new_presence = self._update_presence(m, tr, scores_tr, key)
             if new_presence is not None:
@@ -528,6 +530,7 @@ class Mart(LTRAlgorithm):
             )
             m_tr = float(m_tr)
             m_va = float(m_va)
+            iter_seconds.append(time.time() - t_iter)
             hist_tr.append(m_tr)
             hist_va.append(m_va)
             improved = False
@@ -566,6 +569,8 @@ class Mart(LTRAlgorithm):
             "best_valid": best_va if va is not None else None,
             "init_seconds": init_time,
             "train_seconds": train_time,
+            # per-iteration wall time; [0] includes the one-time jit compile
+            "iter_seconds": iter_seconds,
             "metric": repr(metric),
         }
         if verbose:
