@@ -140,6 +140,13 @@ def run(params: dict) -> dict:
         if verbose:
             print(f"# restricted to {len(keep)} features from {p['features']}")
 
+    # -- device mesh (shared by training + optimization) ----------------------
+    mesh = None
+    if p.get("num_shards", 0):
+        from quickrank_tpu.parallel import make_mesh
+
+        mesh = make_mesh(int(p["num_shards"]))
+
     # -- training phase (driver.cc:228-246) ----------------------------------
     if train is not None and not p.get("skip_train", False):
         import inspect
@@ -157,10 +164,8 @@ def run(params: dict) -> dict:
             )
         if p.get("restart_train"):
             kwargs["warm_start"] = True
-        if p.get("num_shards", 0):
-            from quickrank_tpu.parallel import make_mesh
-
-            kwargs["mesh"] = make_mesh(int(p["num_shards"]))
+        if mesh is not None:
+            kwargs["mesh"] = mesh
         dropped = [k for k in kwargs if k not in supported]
         for k in dropped:
             kwargs.pop(k)
@@ -206,7 +211,7 @@ def run(params: dict) -> dict:
                         print(f"# partial valid scores saved to {vp}")
         opt_info = optimizer.optimize(
             algo, train, valid, train_metric, verbose=verbose,
-            ptrain=ptrain, pvalid=pvalid,
+            ptrain=ptrain, pvalid=pvalid, mesh=mesh,
         )
         results["optimization"] = opt_info
         if p.get("opt_model"):

@@ -20,6 +20,12 @@ Semantics preserved:
     for Cleaver;
   * both: early stop after ``max_failed_vali`` non-improving validation
     epochs, best weights tracked on validation.
+
+Multi-chip: pass ``mesh`` (1-D data mesh) to :meth:`learn` — docs/queries
+shard over the mesh under ``shard_map`` and every candidate metric is a
+(num, den) ``psum``, the cross-chip analog of the OpenMP-reduced candidate
+loops (line_search.cc:264-279, coordinate_ascent.cc:149-165).  Weights stay
+replicated because every device sees identical psum'd metrics.
 """
 
 from __future__ import annotations
@@ -29,12 +35,62 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
 
-from quickrank_tpu.data.dataset import Dataset, shard_and_pad
+from quickrank_tpu.data.dataset import (
+    Dataset,
+    PaddedDataset,
+    gather_padded,
+    shard_and_pad,
+)
 from quickrank_tpu.learning.base import LTRAlgorithm
 from quickrank_tpu.metrics.metrics import Metric
 
 NEG_INF = float("-inf")
+
+
+def eval_padded_local(metric: Metric, padded: PaddedDataset, scores, axis=None):
+    """Metric over a (possibly shard-local) padded block using the
+    SHARD-LOCAL ``pad_index``; with ``axis`` the (num, den) aggregation is
+    psum'd across the mesh (metric.h:77-106's mean, distributed)."""
+    s = gather_padded(scores, padded.pad_index, padded.slot_mask)
+    l = gather_padded(padded.labels, padded.pad_index, padded.slot_mask)
+    pq = metric.evaluate_per_query(s, l, padded.slot_mask, padded.nvalid)
+    num, den = metric.aggregate(pq, padded.query_mask, jnp.sum(padded.doc_mask))
+    if axis is not None:
+        num = jax.lax.psum(num, axis)
+        den = jax.lax.psum(den, axis)
+    return metric.finalize(num, den)
+
+
+def padded_specs(padded: PaddedDataset, axis: str):
+    """PartitionSpec pytree for a PaddedDataset: every doc/query-axis array
+    sharded on ``axis`` (the shard blocks built by shard_and_pad)."""
+    return padded.replace(
+        features=P(axis, None),
+        labels=P(axis),
+        doc_mask=P(axis),
+        pad_index=P(axis, None),
+        slot_mask=P(axis, None),
+        query_mask=P(axis),
+        nvalid=P(axis),
+        orig_index=P(axis),
+        inv_q=P(axis),
+        inv_slot=P(axis),
+    )
+
+
+def shard_padded(padded: PaddedDataset, mesh, axis: str) -> PaddedDataset:
+    specs = padded_specs(padded, axis)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), padded, specs
+    )
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    from quickrank_tpu.learning.mart import shard_map
+
+    return shard_map(f, mesh, in_specs=in_specs, out_specs=out_specs)
 
 
 class _LinearRanker(LTRAlgorithm):
@@ -72,46 +128,61 @@ class _LinearRanker(LTRAlgorithm):
         self.best_weights = None
 
     @staticmethod
-    def _prepare(ds: Dataset):
-        padded = shard_and_pad(ds)
+    def _prepare(ds: Dataset, mesh=None, axis=None):
+        num_shards = int(mesh.shape[axis]) if mesh is not None else 1
+        padded = shard_and_pad(ds, num_shards=num_shards)
+        if mesh is not None:
+            padded = shard_padded(padded, mesh, axis)
         X = padded.features  # padded rows are zero -> contribute nothing
         return padded, X
 
     @staticmethod
-    def _metric_batch(metric: Metric, padded, scores_batch):
-        return jax.vmap(lambda s: metric.evaluate_padded(padded, s))(scores_batch)
+    def _metric_batch(metric: Metric, padded, scores_batch, axis=None):
+        return jax.vmap(
+            lambda s: eval_padded_local(metric, padded, s, axis)
+        )(scores_batch)
+
+    @staticmethod
+    def _mesh_axis(mesh):
+        if mesh is None:
+            return None
+        if len(mesh.axis_names) > 1:
+            raise NotImplementedError(
+                "linear rankers support 1-D (data) meshes only"
+            )
+        return mesh.axis_names[0]
 
 
 class CoordinateAscent(_LinearRanker):
     NAME = "COORDASC"
 
-    def learn(self, train, valid=None, metric=None, verbose=True):
+    def learn(self, train, valid=None, metric=None, verbose=True, mesh=None):
         metric = metric or self.default_metric()
-        padded, X = self._prepare(train)
+        axis = self._mesh_axis(mesh)
+        padded, X = self._prepare(train, mesh, axis)
         F = train.num_features
-        P = self.num_points
+        P_ = self.num_points
         if valid is not None:
-            vpadded, Xv = self._prepare(valid)
+            vpadded, Xv = self._prepare(valid, mesh, axis)
 
         # window is normalized by the feature count (coordinate_ascent.cc:123)
         window0 = self.window_size / F
 
         # X/padded are jit ARGUMENTS (closure constants would be
         # constant-folded at compile time — very slow for big matrices)
-        @jax.jit
-        def epoch(w, window, X, padded):
-            step = 2.0 * window / P
+        def epoch_body(w, window, X, padded):
+            step = 2.0 * window / P_
 
             def fstep(i, w):
                 col = jax.lax.dynamic_index_in_dim(X, i, 1, keepdims=False)
                 full = X @ w
                 wi = w[i]
                 presum = full - wi * col
-                current = metric.evaluate_padded(padded, full)
-                pts = wi - window + step * jnp.arange(P + 1, dtype=jnp.float32)
+                current = eval_padded_local(metric, padded, full, axis)
+                pts = wi - window + step * jnp.arange(P_ + 1, dtype=jnp.float32)
                 valid_pts = pts >= 0
                 cands = presum[None, :] + pts[:, None] * col[None, :]
-                ms = self._metric_batch(metric, padded, cands)
+                ms = self._metric_batch(metric, padded, cands, axis)
                 ms = jnp.where(valid_pts, ms, NEG_INF)
                 b = jnp.argmax(ms)
                 better = ms[b] > current
@@ -120,11 +191,31 @@ class CoordinateAscent(_LinearRanker):
                 return w2
 
             w = jax.lax.fori_loop(0, F, fstep, w)
-            return w, metric.evaluate_padded(padded, X @ w)
+            return w, eval_padded_local(metric, padded, X @ w, axis)
 
-        @jax.jit
-        def valid_metric(w, Xv, vpadded):
-            return metric.evaluate_padded(vpadded, Xv @ w)
+        def valid_body(w, Xv, vpadded):
+            return eval_padded_local(metric, vpadded, Xv @ w, axis)
+
+        if mesh is None:
+            epoch = jax.jit(epoch_body)
+            valid_metric = jax.jit(valid_body)
+        else:
+            rep = P()
+            epoch = jax.jit(
+                _shard_map(
+                    epoch_body, mesh,
+                    in_specs=(rep, rep, P(axis, None), padded_specs(padded, axis)),
+                    out_specs=(rep, rep),
+                )
+            )
+            if valid is not None:
+                valid_metric = jax.jit(
+                    _shard_map(
+                        valid_body, mesh,
+                        in_specs=(rep, P(axis, None), padded_specs(vpadded, axis)),
+                        out_specs=rep,
+                    )
+                )
 
         w = jnp.full((F,), 1.0 / F, jnp.float32)
         best_w = np.asarray(w)
@@ -132,7 +223,7 @@ class CoordinateAscent(_LinearRanker):
         window = window0
         hist_tr, hist_va = [], []
         if verbose:
-            print(f"# {self.NAME}: window={self.window_size} pts={P}")
+            print(f"# {self.NAME}: window={self.window_size} pts={P_}")
             print("# iter. training validation")
         for b in range(self.max_iterations):
             w, m_tr = epoch(w, jnp.float32(window), X, padded)
@@ -224,15 +315,16 @@ class LineSearch(_LinearRanker):
         self.adaptive = bool(adaptive)
         self.train_only_last = int(train_only_last)
 
-    def learn(self, train, valid=None, metric=None, verbose=True):
+    def learn(self, train, valid=None, metric=None, verbose=True, mesh=None):
         metric = metric or self.default_metric()
-        padded, X = self._prepare(train)
+        axis = self._mesh_axis(mesh)
+        padded, X = self._prepare(train, mesh, axis)
         F = train.num_features
         # Force an even point count so the center is on the grid
         # (line_search.cc:162-165).
-        P = self.num_points - (self.num_points % 2)
+        P_ = self.num_points - (self.num_points % 2)
         if valid is not None:
-            vpadded, Xv = self._prepare(valid)
+            vpadded, Xv = self._prepare(valid, mesh, axis)
 
         if self.best_weights is not None and len(self.best_weights) != F:
             raise ValueError(
@@ -244,20 +336,19 @@ class LineSearch(_LinearRanker):
         ).astype(np.float32)
         start_idx = max(0, F - self.train_only_last) if self.train_only_last else 0
 
-        @jax.jit
-        def iteration(w, w_prev, best_m, window, X, padded):
-            step1 = 2.0 * window / P
+        def iteration_body(w, w_prev, best_m, window, X, padded):
+            step1 = 2.0 * window / P_
             full_prev = X @ w_prev
 
             def fstep(f, w):
                 col = jax.lax.dynamic_index_in_dim(X, f, 1, keepdims=False)
                 presum = full_prev - w_prev[f] * col
                 pts = w_prev[f] - window + step1 * jnp.arange(
-                    P + 1, dtype=jnp.float32
+                    P_ + 1, dtype=jnp.float32
                 )
                 valid_pts = pts >= 0
                 cands = presum[None, :] + pts[:, None] * col[None, :]
-                ms = self._metric_batch(metric, padded, cands)
+                ms = self._metric_batch(metric, padded, cands, axis)
                 ms = jnp.where(valid_pts, ms, NEG_INF)
                 b = jnp.argmax(ms)
                 return w.at[f].set(jnp.where(ms[b] > best_m, pts[b], w[f]))
@@ -265,13 +356,13 @@ class LineSearch(_LinearRanker):
             w = jax.lax.fori_loop(start_idx, F, fstep, w)
 
             # Step 2: joint search along (w - w_prev) in P+1 points.
-            dstep = (w - w_prev) / P
+            dstep = (w - w_prev) / P_
             zeros = jnp.all(dstep == 0)
             base = full_prev
             dscore = X @ dstep
-            pidx = jnp.arange(P + 1, dtype=jnp.float32)
+            pidx = jnp.arange(P_ + 1, dtype=jnp.float32)
             cands = base[None, :] + pidx[:, None] * dscore[None, :]
-            ms2 = self._metric_batch(metric, padded, cands)
+            ms2 = self._metric_batch(metric, padded, cands, axis)
             b2 = jnp.argmax(ms2)
             better = (~zeros) & (ms2[b2] > best_m)
             w_new = jnp.where(better, w_prev + dstep * pidx[b2], w)
@@ -280,13 +371,41 @@ class LineSearch(_LinearRanker):
             best_new = jnp.where(better, ms2[b2], best_m)
             return w_new, w_prev_new, best_new, gain
 
-        @jax.jit
-        def train_metric(w, X, padded):
-            return metric.evaluate_padded(padded, X @ w)
+        def train_body(w, X, padded):
+            return eval_padded_local(metric, padded, X @ w, axis)
 
-        @jax.jit
-        def valid_metric(w, Xv, vpadded):
-            return metric.evaluate_padded(vpadded, Xv @ w)
+        def valid_body(w, Xv, vpadded):
+            return eval_padded_local(metric, vpadded, Xv @ w, axis)
+
+        if mesh is None:
+            iteration = jax.jit(iteration_body)
+            train_metric = jax.jit(train_body)
+            valid_metric = jax.jit(valid_body)
+        else:
+            rep = P()
+            tr_specs = padded_specs(padded, axis)
+            iteration = jax.jit(
+                _shard_map(
+                    iteration_body, mesh,
+                    in_specs=(rep, rep, rep, rep, P(axis, None), tr_specs),
+                    out_specs=(rep, rep, rep, rep),
+                )
+            )
+            train_metric = jax.jit(
+                _shard_map(
+                    train_body, mesh,
+                    in_specs=(rep, P(axis, None), tr_specs),
+                    out_specs=rep,
+                )
+            )
+            if valid is not None:
+                valid_metric = jax.jit(
+                    _shard_map(
+                        valid_body, mesh,
+                        in_specs=(rep, P(axis, None), padded_specs(vpadded, axis)),
+                        out_specs=rep,
+                    )
+                )
 
         w = jnp.asarray(w0)
         w_prev = jnp.asarray(w0)
@@ -299,7 +418,7 @@ class LineSearch(_LinearRanker):
         fails = 0
         hist_tr, hist_va = [], []
         if verbose:
-            print(f"# {self.NAME}: window={self.window_size} pts={P}")
+            print(f"# {self.NAME}: window={self.window_size} pts={P_}")
             print("# iter. training validation gain window")
         for it in range(self.max_iterations):
             w, w_prev, best_m_j, gain = iteration(

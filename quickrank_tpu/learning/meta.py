@@ -53,7 +53,7 @@ class MetaCleaver(LTRAlgorithm):
             else 0
         )
 
-    def learn(self, train, valid=None, metric=None, verbose=True):
+    def learn(self, train, valid=None, metric=None, verbose=True, mesh=None):
         metric = metric or self.default_metric()
         algo = self.ltr_algo
         cleaver = self.cleaver
@@ -82,7 +82,8 @@ class MetaCleaver(LTRAlgorithm):
             # grow ntrees_per_iter more trees (no valid: meta handles es)
             algo.ntrees = last_size + self.ntrees_per_iter
             algo.learn(
-                train, None, metric, verbose=self.meta_verbose, warm_start=True
+                train, None, metric, verbose=self.meta_verbose,
+                warm_start=True, mesh=mesh,
             )
             new_size = self._ensemble_size()
             diff = new_size - last_size
@@ -111,7 +112,9 @@ class MetaCleaver(LTRAlgorithm):
             if cleaver.line_search is not None:
                 cleaver.line_search.reset_weights()
 
-            cleaver.optimize(algo, train, valid, metric, verbose=self.meta_verbose)
+            cleaver.optimize(
+                algo, train, valid, metric, verbose=self.meta_verbose, mesh=mesh
+            )
 
             improvement = False
             if valid is not None:

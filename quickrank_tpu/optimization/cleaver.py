@@ -29,8 +29,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from quickrank_tpu.data.dataset import Dataset, pack_doc_values, shard_and_pad
-from quickrank_tpu.learning.linear import LineSearch
+from quickrank_tpu.data.dataset import Dataset, shard_and_pad
+from quickrank_tpu.learning.linear import (
+    LineSearch,
+    eval_padded_local,
+    padded_specs,
+    shard_padded,
+)
 from quickrank_tpu.metrics.metrics import Metric
 
 PRUNING_METHODS = (
@@ -47,6 +52,132 @@ PRUNING_METHODS = (
 #: strategies that need line-search-derived weights before pruning
 #: (cleaver.cc:44-47 + each strategy's line_search_pre_pruning())
 _PRE_LS = {"LOW_WEIGHTS", "QUALITY_LOSS", "QUALITY_LOSS_ADV", "SCORE_LOSS"}
+
+
+class _PartialEval:
+    """Device-resident metric evaluation over a partial-score dataset.
+
+    Holds the padded [N, T] per-tree score matrix on device (sharded over a
+    1-D data mesh when given) and exposes the jitted primitives every
+    quality-aware pruning strategy needs.  This replaces the reference's
+    OpenMP candidate loops over host memory (quality_loss_pruning.cc:49-79,
+    random_adv_pruning.cc:43-76, score_loss_pruning.cc:58-77) with batched
+    device passes whose only cross-chip traffic is the metric (num, den)
+    psum — at MSLR scale the ~10 GB partial matrix stays sharded on device
+    instead of living in host f64.
+    """
+
+    def __init__(self, metric: Metric, ds: Dataset, mesh=None):
+        self.metric = metric
+        self.mesh = mesh
+        self.axis = axis = mesh.axis_names[0] if mesh is not None else None
+        nsh = int(mesh.shape[axis]) if mesh is not None else 1
+        padded = shard_and_pad(ds, num_shards=nsh)
+        if mesh is not None:
+            padded = shard_padded(padded, mesh, axis)
+        self.padded = padded
+        self.num_trees = ds.num_features
+
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from quickrank_tpu.learning.mart import shard_map
+
+            rep, dvec, mat = P(), P(axis), P(axis, None)
+            tr = padded_specs(padded, axis)
+
+            def wrap(f, in_specs, out_specs):
+                return jax.jit(
+                    shard_map(f, mesh, in_specs=in_specs, out_specs=out_specs)
+                )
+        else:
+            rep = dvec = mat = tr = None
+
+            def wrap(f, in_specs, out_specs):
+                return jax.jit(f)
+
+        def base_f(w, X):
+            return X @ w
+
+        def metric_f(scores, padded):
+            return eval_padded_local(metric, padded, scores, axis)
+
+        def drop_one_f(base, w, X, padded):
+            def one(f):
+                col = jax.lax.dynamic_index_in_dim(X, f, 1, keepdims=False)
+                return eval_padded_local(metric, padded, base - w[f] * col, axis)
+
+            return jax.vmap(one)(jnp.arange(X.shape[1]))
+
+        def apply_drop_f(base, w, X, f):
+            col = jax.lax.dynamic_index_in_dim(X, f, 1, keepdims=False)
+            return base - w[f] * col
+
+        def mask_metrics_f(base, w, masks, X, padded):
+            # cand_b = base - X @ (w * m_b): one [N, T] x [T, B] matmul
+            delta = X @ (w[:, None] * masks.T)
+            return jax.vmap(
+                lambda d: eval_padded_local(metric, padded, base - d, axis)
+            )(delta.T)
+
+        def score_loss_f(base, w, X, padded):
+            # sum_docs w_f * P[:, f] / score (score_loss_pruning.cc:58-77);
+            # padding rows have X == 0 so they contribute nothing.
+            safe = jnp.where(base == 0, 1e-12, base)
+            s = jnp.sum((X * w[None, :]) / safe[:, None], axis=0)
+            if axis is not None:
+                s = jax.lax.psum(s, axis)
+            return s
+
+        self._base = wrap(base_f, (rep, mat), dvec)
+        self._metric = wrap(metric_f, (dvec, tr), rep)
+        self._drop_one = wrap(drop_one_f, (dvec, rep, mat, tr), rep)
+        self._apply_drop = wrap(apply_drop_f, (dvec, rep, mat, rep), dvec)
+        self._mask_metrics = wrap(mask_metrics_f, (dvec, rep, rep, mat, tr), rep)
+        self._score_loss = wrap(score_loss_f, (dvec, rep, mat, tr), rep)
+
+    def base(self, w):
+        return self._base(jnp.asarray(w, jnp.float32), self.padded.features)
+
+    def metric_of(self, scores) -> float:
+        return float(self._metric(scores, self.padded))
+
+    def metric_of_weights(self, w) -> float:
+        return self.metric_of(self.base(w))
+
+    def drop_one_metrics(self, base, w) -> np.ndarray:
+        """Metric after removing tree f, for every f — [T] host array
+        (a mutable copy: QUALITY_LOSS_ADV masks already-pruned entries)."""
+        return np.array(
+            self._drop_one(
+                base, jnp.asarray(w, jnp.float32), self.padded.features,
+                self.padded,
+            )
+        )
+
+    def apply_drop(self, base, w, f: int):
+        return self._apply_drop(
+            base, jnp.asarray(w, jnp.float32), self.padded.features,
+            jnp.int32(f),
+        )
+
+    def mask_metrics(self, base, w, masks) -> np.ndarray:
+        """Metric after removing each row-mask's tree set — [B] host array."""
+        return np.asarray(
+            self._mask_metrics(
+                base, jnp.asarray(w, jnp.float32),
+                jnp.asarray(masks, jnp.float32), self.padded.features,
+                self.padded,
+            )
+        )
+
+    def score_loss_sums(self, base, w) -> np.ndarray:
+        return np.asarray(
+            self._score_loss(
+                base, jnp.asarray(w, jnp.float32), self.padded.features,
+                self.padded,
+            )
+        )
 
 
 class Optimization:
@@ -110,13 +241,6 @@ class Cleaver(Optimization):
         qids = np.repeat(ds.qids, ds.docs_per_query())
         return Dataset.from_arrays(P, ds.labels, qids, name=f"partial:{ds.name}")
 
-    @staticmethod
-    def _metric_of(metric: Metric, ds: Dataset, scores) -> float:
-        padded = shard_and_pad(ds)
-        return float(
-            metric.evaluate_dataset(padded, pack_doc_values(padded, scores))
-        )
-
     def optimize(
         self,
         algo,
@@ -126,16 +250,23 @@ class Cleaver(Optimization):
         verbose=True,
         ptrain=None,
         pvalid=None,
+        mesh=None,
     ) -> dict:
         """Prune + re-weight.  ``ptrain``/``pvalid`` optionally supply
         precomputed partial-score datasets (the driver's --train-partial /
-        --valid-partial reuse path, driver.cc:270-298)."""
+        --valid-partial reuse path, driver.cc:270-298).  With ``mesh`` the
+        partial matrix, every candidate rescoring, and the embedded line
+        searches shard docs over the (1-D) mesh."""
         metric = metric or algo.default_metric()
         if ptrain is None:
             ptrain = self._partial_dataset(algo, train)
         if pvalid is None and valid is not None:
             pvalid = self._partial_dataset(algo, valid)
         T = ptrain.num_features
+        ev = _PartialEval(metric, ptrain, mesh)
+        ev_valid = (
+            _PartialEval(metric, pvalid, mesh) if pvalid is not None else None
+        )
 
         window = self.last_estimators_to_optimize or T
         opt_last_only = self.last_estimators_to_optimize > 0
@@ -154,7 +285,7 @@ class Cleaver(Optimization):
             weights = self.weights_.copy()
         starting_weights = weights.copy()
 
-        m_before = self._metric_of(metric, ptrain, ptrain.features @ weights)
+        m_before = ev.metric_of_weights(weights)
         info = {"metric_before": m_before, "num_trees_before": T}
         if verbose:
             print(f"# CLEAVER[{self.pruning_method}] trees={T} prune={to_prune}")
@@ -167,7 +298,7 @@ class Cleaver(Optimization):
                 ls.train_only_last = window
             if ls.best_weights is None:
                 ls.update_weights(weights)
-                ls.learn(ptrain, pvalid, metric, verbose=False)
+                ls.learn(ptrain, pvalid, metric, verbose=False, mesh=mesh)
                 weights = ls.get_weights().copy()
             else:
                 # Reuse pre-learned LS weights, rescaled to the algo's weight
@@ -177,7 +308,7 @@ class Cleaver(Optimization):
                 weights = lw / max(scale, 1e-12)
 
         # -- strategy selection ---------------------------------------------
-        pruned = self._pruning(weights, ptrain, metric, window, to_prune)
+        pruned = self._pruning(weights, ev, window, to_prune)
         info["pruned"] = sorted(int(i) for i in pruned)
 
         # -- zero pruned, keep pre-LS values for survivors ------------------
@@ -195,7 +326,7 @@ class Cleaver(Optimization):
                 ls.train_only_last = window - to_prune
             ftrain = _filter_columns(ptrain, keep)
             fvalid = _filter_columns(pvalid, keep) if pvalid is not None else None
-            ls.learn(ftrain, fvalid, metric, verbose=False)
+            ls.learn(ftrain, fvalid, metric, verbose=False, mesh=mesh)
             weights[keep] = ls.get_weights()
 
         # -- write back (drops zero-weight trees, ensemble.cc:149-192) ------
@@ -203,12 +334,10 @@ class Cleaver(Optimization):
             algo.update_weights(weights)
         self.weights_ = weights
 
-        m_after = self._metric_of(metric, ptrain, ptrain.features @ weights)
+        m_after = ev.metric_of_weights(weights)
         self.metric_on_training_ = m_after
         if pvalid is not None:
-            self.metric_on_validation_ = self._metric_of(
-                metric, pvalid, pvalid.features @ weights
-            )
+            self.metric_on_validation_ = ev_valid.metric_of_weights(weights)
             info["metric_after_valid"] = self.metric_on_validation_
         info["metric_after"] = m_after
         info["num_trees_after"] = int(np.sum(weights != 0))
@@ -221,8 +350,8 @@ class Cleaver(Optimization):
 
     # -- strategies ------------------------------------------------------
 
-    def _pruning(self, weights, ptrain: Dataset, metric, window, k) -> set:
-        T = ptrain.num_features
+    def _pruning(self, weights, ev: _PartialEval, window, k) -> set:
+        T = ev.num_trees
         start = T - window
         rng = np.random.default_rng(self.seed)
         method = self.pruning_method
@@ -244,72 +373,45 @@ class Cleaver(Optimization):
             idx = np.argsort(weights[start:T], kind="stable")[:k]
             return set(start + idx)
 
-        P = ptrain.features
-        padded = shard_and_pad(ptrain)
-        X = jnp.asarray(P)
-        w = jnp.asarray(weights, jnp.float32)
-        base = X @ w
-
-        # jit built ONCE — jax.jit caches on function identity, so building
-        # it inside eval_batch would re-trace on every greedy pick
-        _eval_jit = jax.jit(
-            jax.vmap(
-                lambda s: metric.evaluate_padded(
-                    padded, pack_doc_values(padded, s)
-                )
-            )
-        )
-
-        def eval_batch(scores_batch):
-            return np.asarray(_eval_jit(scores_batch))
+        base = ev.base(weights)
 
         if method == "QUALITY_LOSS":
-            cand = base[None, :] - (w[start:T, None] * X.T[start:T])
-            ms = eval_batch(cand)
+            ms = ev.drop_one_metrics(base, weights)[start:T]
             # prune the k whose removal leaves the HIGHEST metric
             idx = np.argsort(-ms, kind="stable")[:k]
             return set(start + idx)
 
         if method == "QUALITY_LOSS_ADV":
-            # greedy: re-evaluate removal metrics after each pick
+            # greedy: re-evaluate removal metrics after each pick with the
+            # already-pruned trees' contribution folded into the base
+            # (quality_loss_adv: same loop, one device pass per pick)
             pruned: set = set()
-            base_np = np.asarray(base)
             for _ in range(k):
-                cand = base_np[None, :] - np.asarray(
-                    (w[start:T, None] * X.T[start:T])
-                )
-                ms = np.array(eval_batch(jnp.asarray(cand)))
+                ms = ev.drop_one_metrics(base, weights)[start:T]
                 for f in pruned:
                     ms[f - start] = -np.inf
-                best = int(np.argmax(ms))
-                pruned.add(start + best)
-                base_np = cand[best]
+                best = start + int(np.argmax(ms))
+                pruned.add(best)
+                base = ev.apply_drop(base, weights, best)
             return pruned
 
         if method == "SCORE_LOSS":
             # sum of score-normalized per-tree contribution, prune smallest
             # (score_loss_pruning.cc:58-77's literal formula)
-            base_np = np.asarray(base, np.float64)
-            safe = np.where(base_np == 0, 1e-12, base_np)
-            fs = np.sum(
-                (weights[start:T][None, :] * P[:, start:T]) / safe[:, None],
-                axis=0,
-            )
+            fs = ev.score_loss_sums(base, weights)[start:T]
             idx = np.argsort(fs, kind="stable")[:k]
             return set(start + idx)
 
         if method == "RANDOM_ADV":
             # best of 100 random prune sets by resulting metric
-            best_set, best_m = None, -np.inf
             sets = [
                 start + rng.choice(window, size=k, replace=False)
                 for _ in range(100)
             ]
-            cands = np.empty((100, P.shape[0]), np.float32)
-            base_np = np.asarray(base)
+            masks = np.zeros((100, T), np.float32)
             for i, s in enumerate(sets):
-                cands[i] = base_np - P[:, s] @ weights[s]
-            ms = eval_batch(jnp.asarray(cands))
+                masks[i, s] = 1.0
+            ms = ev.mask_metrics(base, weights, masks)
             best = int(np.argmax(ms))
             return set(int(x) for x in sets[best])
 

@@ -115,6 +115,61 @@ def test_oblivious_2d_mesh_matches_single_device(small_splits):
     np.testing.assert_allclose(i1["train"], i2["train"], atol=1e-5)
 
 
+@pytest.mark.parametrize("algo_cls_name", ["CoordinateAscent", "LineSearch"])
+def test_linear_sharded_matches_single_device(algo_cls_name, small_splits):
+    """Linear rankers under a data mesh: the candidate-sweep metrics are
+    (num, den) psums, so every weight decision must be identical to the
+    single-device run up to f32 reduction order (line_search.cc:264-279's
+    OpenMP loops, distributed)."""
+    import quickrank_tpu.learning as L
+
+    algo_cls = getattr(L, algo_cls_name)
+    train, valid, _ = small_splits
+    a1 = algo_cls(num_points=8, max_iterations=4)
+    i1 = a1.learn(train, valid, Ndcg(10), verbose=False)
+    a4 = algo_cls(num_points=8, max_iterations=4)
+    i4 = a4.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh(4))
+    np.testing.assert_allclose(i1["train"], i4["train"], atol=2e-3)
+    np.testing.assert_allclose(i1["valid"], i4["valid"], atol=2e-3)
+    np.testing.assert_allclose(
+        a1.get_weights(), a4.get_weights(), atol=1e-4
+    )
+
+
+def test_cleaver_sharded_matches_single_device(small_splits):
+    """Cleaver's pruning decisions derive only from psum'd candidate
+    metrics, so the pruned set must be identical across shardings."""
+    from quickrank_tpu.learning import LineSearch
+    from quickrank_tpu.optimization import Cleaver
+
+    train, valid, _ = small_splits
+    lm = LambdaMart(ntrees=12, nleaves=8, nthresholds=32, seed=1)
+    lm.learn(train, valid, Ndcg(10), verbose=False)
+    w0 = lm.get_weights().copy()
+
+    def run(mesh):
+        import copy
+
+        algo = copy.copy(lm)
+        algo.ensemble = lm.ensemble
+        algo.update_weights(w0)
+        cl = Cleaver(
+            pruning_method="QUALITY_LOSS_ADV",
+            pruning_rate=0.25,
+            line_search=LineSearch(num_points=8, max_iterations=3),
+            seed=3,
+        )
+        info = cl.optimize(algo, train, valid, Ndcg(10), verbose=False,
+                           mesh=mesh)
+        return info, cl.weights_.copy()
+
+    i1, w1 = run(None)
+    i4, w4 = run(make_mesh(4))
+    assert i1["pruned"] == i4["pruned"]
+    np.testing.assert_allclose(w1, w4, atol=1e-4)
+    assert abs(i1["metric_after"] - i4["metric_after"]) < 2e-3
+
+
 def test_levelwise_2d_mesh_parity(small_splits):
     from quickrank_tpu.parallel.mesh import make_mesh_2d
 
