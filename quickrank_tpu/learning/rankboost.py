@@ -1,24 +1,50 @@
 """RankBoost — pairwise boosting of binary threshold weak rankers.
 
-TPU-native re-design of ``Rankboost`` (src/learning/forests/rankboost.cc):
-the per-query pair-weight matrices ``D[q][i][j]`` become one padded
-``[Q, D, D]`` tensor, the potential ``PI`` a batched column-sum-minus-row-sum,
-and the weak-ranker search — the reference's per-feature sorted-document walk
-over every threshold (rankboost.cc:365-415) — collapses into a single
-histogram-of-potential + suffix-sum:  r(f, t) = sum of PI over docs with
-``bin(doc, f) > t``, maximized by one argmax over the [F, B] tensor.
+TPU-native re-design of ``Rankboost`` (src/learning/forests/rankboost.cc).
+The reference keeps explicit per-query pair-weight matrices ``D[q][i][j]``
+(rankboost.cc:276-292) and updates them multiplicatively every round
+(rankboost.cc:419-445).  Materializing that tensor is O(Q * Dmax^2) — ~100 GB
+at MSLR scale — so this implementation never builds it.  Instead it exploits
+that the update is *separable*:
+
+    D_t(i, j)  =  D_0(i, j) * exp(alpha_1 (h_1(i)-h_1(j))) * ... / Z
+               ∝  exp(s_i - s_j) * pair_mask(i, j)
+
+where ``s`` is exactly the cumulative weak-ranker score already tracked for
+the metric.  Every quantity the algorithm reads off D factorizes:
+
+  * the potential ``pi(d) = sum_j D(j,d) - sum_j D(d,j)`` (rankboost.cc:
+    349-361) becomes ``exp(-s_d) * col(d) - exp(s_d) * row(d)`` where
+    ``row``/``col`` are per-query prefix/suffix sums of ``exp(±s)`` over
+    docs with lower/higher labels — computed per label level (LTR labels
+    are graded) in O(Q * Dm * L) work and O(Q * Dm) memory;
+  * the normalizer ``Z_t`` is the ratio ``S_t / S_{t-1}`` of consecutive
+    pair-exponential sums ``S_t = sum_pairs exp(s_i - s_j)``;
+  * the weak-ranker search — the reference's per-feature sorted-document
+    walk over every threshold (rankboost.cc:365-415) — is a histogram of
+    ``pi`` over (feature, bin) + suffix sum: ``r(f, t) = sum of pi over
+    docs with bin(doc, f) > t``, maximized by one argmax over [F, B].
+    The histogram reuses the MXU Pallas kernel tree growth uses.
 
 Reference semantics preserved:
-  * D init: 1/N on (i, j), i < j in dataset order, with label_j > label_i
-    (rankboost.cc:276-292 — pairs whose earlier doc is more relevant are NOT
-    tracked, mirroring the reference's upper-triangular loop);
+  * pairs (i, j): i < j in dataset order with label_j > label_i
+    (rankboost.cc:276-292 — the upper-triangular loop);
   * alpha = 0.5 ln((z + r)/(z - r)), with the r >= 1 escape hatch
     ``alpha = max_alpha * r`` (rankboost.cc:150-160);
   * weak ranker h(x) = 1 if x[f] > theta else 0 (sign fixed at +1, as the
     sign-flip branch is commented out in the reference :258-262);
-  * multiplicative D update with exp(alpha (h_j - h_k)) + Z normalization
-    (rankboost.cc:419-445);
   * best_T tracking on validation, model truncated to best_T.
+
+Deviation: the reference holds D in double; here the factorized
+exponentials are f32 with a per-query score recentering plus a ±20 clamp
+on the centered scores, which bounds every partial sum well inside f32
+range.  The clamp only binds when one pair's weight exceeds e^40 times
+another's — i.e. when D has already collapsed onto a few pairs.
+
+Multi-chip: pass ``mesh`` (1-D data mesh) — queries shard over the mesh;
+the per-query prefix/suffix sums are shard-local and the only collectives
+are the S / pair-histogram / metric psums (the cross-chip analog of the
+reference's per-query OpenMP loops, rankboost.cc:300-347).
 
 The trained model scores as  score(x) = sum_t alpha_t [x[f_t] > theta_t] —
 batched as one column-gather + compare + matvec (the same shape as the
@@ -32,11 +58,76 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from quickrank_tpu.data.dataset import Dataset, gather_padded, shard_and_pad
 from quickrank_tpu.learning.base import LTRAlgorithm
 from quickrank_tpu.metrics.metrics import Metric
-from quickrank_tpu.ops.binning import bin_dataset
+
+#: centered-score clamp: exp bounded by e^20, any product of two by e^40,
+#: and S (sum over ~1e7 pairs) by ~1e27 — safely inside f32.
+_SCORE_CLAMP = 20.0
+_MAX_LABEL_LEVELS = 64
+
+
+def pair_potentials(s_flat, sd, levels: tuple, num_bins: int, axis=None):
+    """Factorized weak-ranker search: from cumulative scores ``s_flat`` and
+    a :class:`~quickrank_tpu.learning.mart.StepData`, return
+    ``(f_star, t_star, best_r, S, pi)`` where ``pi`` is the flat [N]
+    per-doc potential of the implicit pair-weight matrix
+    ``D(i, j) = exp(s_i - s_j) * pair_mask / S`` and
+    ``S = sum_pairs exp(s_i - s_j)`` (the running normalizer).
+
+    Equivalent to materializing D, taking its column-minus-row sums
+    (rankboost.cc:349-361) and walking every (feature, threshold)
+    (rankboost.cc:365-415), but in O(Q*Dm*len(levels)) work and O(Q*Dm)
+    memory.  ``levels`` must be the sorted distinct label values.
+    """
+    sp = gather_padded(s_flat, sd.pad_index, sd.slot_mask)  # [Q, Dm]
+    lp = gather_padded(sd.labels, sd.pad_index, sd.slot_mask)
+    # per-query recentering keeps exp() in range; the shift cancels inside
+    # every u_i * v_j product, so S and pi are exact (up to the clamp)
+    neg = jnp.float32(-3.0e38)
+    smax = jnp.max(jnp.where(sd.slot_mask, sp, neg), axis=1)
+    smin = jnp.min(jnp.where(sd.slot_mask, sp, -neg), axis=1)
+    c = jnp.where(sd.query_mask, 0.5 * (smax + smin), 0.0)
+    d = jnp.clip(sp - c[:, None], -_SCORE_CLAMP, _SCORE_CLAMP)
+    u = jnp.where(sd.slot_mask, jnp.exp(d), 0.0)
+    v = jnp.where(sd.slot_mask, jnp.exp(-d), 0.0)
+    row = jnp.zeros_like(u)
+    col = jnp.zeros_like(u)
+    for lev in levels:  # static unroll, L is small (graded labels)
+        is_l = (lp == lev) & sd.slot_mask
+        vl = jnp.where(is_l, v, 0.0)
+        ul = jnp.where(is_l, u, 0.0)
+        # exclusive suffix/prefix sums along the slot (dataset-order) axis:
+        # docs after i with this label / before i with it
+        suf = jnp.flip(jnp.cumsum(jnp.flip(vl, 1), axis=1), 1) - vl
+        pre = jnp.cumsum(ul, axis=1) - ul
+        row = row + jnp.where(lp < lev, suf, 0.0)
+        col = col + jnp.where(lp > lev, pre, 0.0)
+    rowsum = u * row  # sum_j>i, l_j>l_i  exp(s_i - s_j)   (i first)
+    colsum = v * col  # sum_j<i, l_j<l_i  exp(s_j - s_i)   (i second)
+    S = jnp.sum(rowsum)
+    if axis is not None:
+        S = jax.lax.psum(S, axis)
+    pi_p = (colsum - rowsum) / S
+    # padded [Q, Dm] -> flat [N] is a pure gather via the inverse map
+    pi = pi_p[sd.inv_q, sd.inv_slot] * sd.doc_mask
+
+    from quickrank_tpu.ops.histogram import doc_channels, masked_histogram
+
+    hist = masked_histogram(
+        sd.binned, doc_channels(pi, sd.doc_mask), sd.doc_mask, num_bins
+    )[:, :, 1]
+    if axis is not None:
+        hist = jax.lax.psum(hist, axis)
+    cum = jnp.cumsum(hist, axis=1)
+    r = cum[:, -1:] - cum  # sum over bins strictly greater than t
+    best = jnp.argmax(r)
+    f_star = (best // num_bins).astype(jnp.int32)
+    t_star = (best % num_bins).astype(jnp.int32)
+    return f_star, t_star, r.reshape(-1)[best], S, pi
 
 
 class RankBoost(LTRAlgorithm):
@@ -54,89 +145,90 @@ class RankBoost(LTRAlgorithm):
         self.best_T: int = 0
         self.history: dict = {}
 
-    def learn(self, train, valid=None, metric=None, verbose=True):
+    def learn(self, train, valid=None, metric=None, verbose=True, mesh=None):
         metric = metric or self.default_metric()
-        padded = shard_and_pad(train)
-        b = bin_dataset(train.features, nthresholds=self.nthresholds)
-        idx = padded.pad_index_global
-        sm = padded.slot_mask
-        labels = gather_padded(padded.labels, idx, sm)
-        Q, Dm = labels.shape
-        N_docs = padded.num_docs_padded
+        num_shards = 1
+        axis = None
+        if mesh is not None:
+            if len(mesh.axis_names) > 1:
+                raise NotImplementedError(
+                    "RANKBOOST supports 1-D (data) meshes only"
+                )
+            axis = mesh.axis_names[0]
+            num_shards = int(mesh.shape[axis])
 
-        # binned features in padded order
-        from quickrank_tpu.data.dataset import pack_doc_values
+        from quickrank_tpu.learning.mart import TrainData, eval_metric
 
-        binned = jnp.stack(
-            [
-                pack_doc_values(padded, b.binned[:, f])
-                for f in range(train.num_features)
-            ],
-            axis=1,
-        ).astype(jnp.int32)
-        thresholds = jnp.asarray(b.thresholds)
-        B = b.num_bins
-        F = train.num_features
+        tr = TrainData.build(train, self.nthresholds, num_shards=num_shards)
+        thresholds_np = np.asarray(tr.step.thresholds)
+        if mesh is not None:
+            import dataclasses as _dc
 
-        # pair mask: i < j (dataset order inside the padded query) and
-        # label_j > label_i
-        ii = jnp.arange(Dm)[None, :, None]
-        jj = jnp.arange(Dm)[None, None, :]
-        pair_mask = (
-            (ii < jj)
-            & sm[:, :, None]
-            & sm[:, None, :]
-            & (labels[:, None, :] > labels[:, :, None])
-        )
-        n_pairs = jnp.sum(pair_mask)
-        Dw = jnp.where(pair_mask, 1.0 / jnp.maximum(n_pairs, 1), 0.0).astype(
-            jnp.float32
-        )
+            from quickrank_tpu.parallel.mesh import shard_step_data
+
+            tr = _dc.replace(tr, step=shard_step_data(tr.step, mesh, axis))
+        sd = tr.step
+        B = tr.num_bins
+        N_docs = tr.padded.num_docs_padded
+
+        levels = [float(x) for x in np.unique(train.labels)]
+        if len(levels) > _MAX_LABEL_LEVELS:
+            raise ValueError(
+                f"RANKBOOST: {len(levels)} distinct labels; the label-level "
+                f"potential sums unroll per level (cap {_MAX_LABEL_LEVELS}). "
+                "Quantize the labels first."
+            )
+
+        def _potentials_body(s_flat, sd):
+            f_star, t_star, best_r, S, _ = pair_potentials(
+                s_flat, sd, tuple(levels), B, axis
+            )
+            return f_star, t_star, best_r, S
+
+        def _apply_body(s_flat, f_star, t_star, alpha, sd):
+            fcol = jax.lax.dynamic_index_in_dim(
+                sd.binned, f_star, axis=1, keepdims=False
+            ).astype(jnp.int32)
+            h = (fcol > t_star).astype(jnp.float32) * sd.doc_mask
+            s2 = s_flat + alpha * h
+            return s2, eval_metric(metric, sd, s2, axis)
+
+        if mesh is None:
+            _pot_j = jax.jit(_potentials_body)
+            weak_search = lambda s: _pot_j(s, sd)  # noqa: E731
+            _apply_j = jax.jit(_apply_body)
+            apply_ranker = lambda s, f, t, a: _apply_j(s, f, t, a, sd)  # noqa: E731
+        else:
+            from quickrank_tpu.learning.mart import shard_map
+            from quickrank_tpu.parallel.mesh import step_data_specs
+
+            rep = P()
+            Pd = P(axis)
+            specs = step_data_specs(sd, axis)
+            _pot_j = jax.jit(
+                shard_map(
+                    _potentials_body, mesh,
+                    in_specs=(Pd, specs), out_specs=(rep, rep, rep, rep),
+                )
+            )
+            weak_search = lambda s: _pot_j(s, sd)  # noqa: E731
+            _apply_j = jax.jit(
+                shard_map(
+                    _apply_body, mesh,
+                    in_specs=(Pd, rep, rep, rep, specs),
+                    out_specs=(Pd, rep),
+                )
+            )
+            apply_ranker = lambda s, f, t, a: _apply_j(s, f, t, a, sd)  # noqa: E731
 
         if valid is not None:
+            from quickrank_tpu.data.dataset import pack_doc_values
+
             vpadded = shard_and_pad(valid)
-
-        @jax.jit
-        def weak_search(Dw):
-            # potential: column sums - row sums (rankboost.cc:349-361)
-            pi = jnp.sum(Dw, axis=1) - jnp.sum(Dw, axis=2)  # [Q, Dm]
-            pi_flat = jnp.zeros((N_docs,), jnp.float32)
-            pi_flat = pi_flat.at[idx.reshape(-1)].add(
-                jnp.where(sm, pi, 0.0).reshape(-1)
-            )
-            # histogram of potential over (feature, bin), then r(f, t) =
-            # sum over bins > t
-            fidx = jnp.arange(F, dtype=jnp.int32)[None, :]
-            flat = fidx * B + jnp.minimum(binned, B - 1)
-            hist = jnp.zeros((F * B,), jnp.float32)
-            vals = jnp.broadcast_to(
-                jnp.where(padded.doc_mask, pi_flat, 0.0)[:, None], (N_docs, F)
-            )
-            hist = hist.at[flat.reshape(-1)].add(vals.reshape(-1)).reshape(F, B)
-            cum = jnp.cumsum(hist, axis=1)
-            r = cum[:, -1:] - cum  # sum over bins strictly greater than t
-            best = jnp.argmax(r)
-            f_star = (best // B).astype(jnp.int32)
-            t_star = (best % B).astype(jnp.int32)
-            return f_star, t_star, r.reshape(-1)[best]
-
-        @jax.jit
-        def apply_ranker(Dw, f_star, t_star, alpha, scores_flat):
-            fcol = jax.lax.dynamic_index_in_dim(
-                binned, f_star, axis=1, keepdims=False
-            )
-            h_flat = (fcol > t_star).astype(jnp.float32)
-            scores_flat = scores_flat + alpha * h_flat
-            h = gather_padded(h_flat, idx, sm)
-            factor = jnp.exp(alpha * (h[:, :, None] - h[:, None, :]))
-            Dw = jnp.where(pair_mask, Dw * factor, 0.0)
-            z = jnp.sum(Dw)
-            Dw = Dw / jnp.maximum(z, 1e-30)
-            m = metric.evaluate_padded(padded, scores_flat)
-            return Dw, z, scores_flat, m
 
         scores_flat = jnp.zeros((N_docs,), jnp.float32)
         features, thetas, alphas = [], [], []
+        S_last = None
         z_t = 1.0
         max_alpha = 0.0
         best_va, best_T = -np.inf, 0
@@ -147,19 +239,25 @@ class RankBoost(LTRAlgorithm):
         if verbose:
             print(f"# {self.NAME}: T={self.T}")
         for t in range(self.T):
-            f_star, t_star, best_r = weak_search(Dw)
+            f_star, t_star, best_r, S = weak_search(scores_flat)
+            # z_t = S_t / S_{t-1}: the reference's running Z (the sum of the
+            # multiplicatively-updated D before renormalization) expressed
+            # as a ratio of pair-exponential sums (rankboost.cc:419-445)
+            S = float(S)
+            if S_last is not None:
+                z_t = S / S_last
+            S_last = S
             f_star_i, t_star_i = int(f_star), int(t_star)
-            theta = float(np.asarray(b.thresholds)[f_star_i, t_star_i])
+            theta = float(thresholds_np[f_star_i, t_star_i])
             r_t = z_t * float(best_r)
             if r_t >= 1:
                 alpha = max_alpha * r_t
             else:
                 alpha = float(np.log((z_t + r_t) / (z_t - r_t)) / 2.0)
                 max_alpha = max(max_alpha, alpha)
-            Dw, z, scores_flat, m_tr = apply_ranker(
-                Dw, f_star, t_star, jnp.float32(alpha), scores_flat
+            scores_flat, m_tr = apply_ranker(
+                scores_flat, f_star, t_star, jnp.float32(alpha)
             )
-            z_t = float(z)
             m_tr = float(m_tr)
             features.append(f_star_i)
             thetas.append(theta)
