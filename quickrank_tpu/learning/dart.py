@@ -702,20 +702,18 @@ class Dart(LambdaMart):
 
     @staticmethod
     def _full_rescore(ens: EnsembleTensors, td: TrainData, md: int):
-        from quickrank_tpu.ops.scoring import score_ensemble
+        from quickrank_tpu.ops.scoring import kahan_add
 
-        # Score in bin space via per-tree descent (exact same routing).
-        def body(acc, t):
+        # Score in bin space via per-tree descent (exact same routing);
+        # Kahan-compensated like the Mart-family score carries.
+        def body(carry, t):
             tree = ens.tree(t)
             d = tree.leaf_value[descend_tree_binned(td.step.binned, tree, md)]
             w = jnp.where(t < ens.num_trees, ens.weight[t], 0.0)
-            return acc + w * d, None
+            return kahan_add(carry[0], carry[1], w * d), None
 
-        out, _ = jax.lax.scan(
-            body,
-            jnp.zeros((td.step.binned.shape[0],), jnp.float32),
-            jnp.arange(ens.capacity),
-        )
+        z = jnp.zeros((td.step.binned.shape[0],), jnp.float32)
+        (out, _), _ = jax.lax.scan(body, (z, z), jnp.arange(ens.capacity))
         return out
 
     def _info_dict(self) -> dict:

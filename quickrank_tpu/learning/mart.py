@@ -311,7 +311,7 @@ class Mart(LTRAlgorithm):
             # because they derive from psum'd histograms.
             k1 = jax.random.fold_in(k1, jax.lax.axis_index(axis_name))
         smask = self._sample_mask(tr, k1, presence & tr.doc_mask)
-        grad, w = self._gradients(tr, scores_tr, smask, k2)
+        grad, w = self._gradients(tr, scores_tr[0], smask, k2)
         tree, node = self._fit_and_assign(tr, grad, smask, cfg, k3, axis_name)
         tree = leaf_outputs(
             tree,
@@ -324,15 +324,22 @@ class Mart(LTRAlgorithm):
         ens2 = ens.push(tree, shrinkage)
         # every doc is routed during the fit, so the train update is a pure
         # leaf-value gather — no descent pass (and it stays correct under
-        # feature sharding, where local binned blocks can't be descended)
+        # feature sharding, where local binned blocks can't be descended).
+        # Scores carry a Kahan compensation term across iterations: the f32
+        # analog of the reference's double score accumulator
+        # (Score = double, include/types.h:28-35) — at 1000 trees the
+        # uncompensated f32 partial-sum drift is measurable
+        # (tests/test_precision.py).
+        from quickrank_tpu.ops.scoring import kahan_add
+
         d_tr = tree.leaf_value[jnp.maximum(node, 0)]
-        s_tr = scores_tr + shrinkage * d_tr
-        m_tr = eval_metric(metric, tr, s_tr, axis_name)
+        s_tr = kahan_add(scores_tr[0], scores_tr[1], shrinkage * d_tr)
+        m_tr = eval_metric(metric, tr, s_tr[0], axis_name)
         if va is None:
             return ens2, s_tr, scores_va, m_tr, jnp.float32(jnp.nan)
         d_va = tree.leaf_value[descend_tree_binned(va.binned, tree, md)]
-        s_va = scores_va + shrinkage * d_va
-        m_va = eval_metric(metric, va, s_va, axis_name)
+        s_va = kahan_add(scores_va[0], scores_va[1], shrinkage * d_va)
+        m_va = eval_metric(metric, va, s_va[0], axis_name)
         return ens2, s_tr, s_va, m_tr, m_va
 
     def _make_step(
@@ -387,17 +394,21 @@ class Mart(LTRAlgorithm):
                 ens, s_tr, s_va, key, presence, tr_sd, va_sd_, metric, cfg, axis
             )
 
+        # training/valid scores are (sum, kahan-compensation) pairs — both
+        # components shard with the docs
+        sc_tr = (P(axis), P(axis))
+        sc_va = (P(axis), P(axis)) if va_sd is not None else (rep, rep)
         in_specs = (
             ens_specs,
-            P(axis),
-            P(axis) if va_sd is not None else rep,
+            sc_tr,
+            sc_va,
             rep,
             P(axis),
         )
         out_specs = (
             ens_specs,
-            P(axis),
-            P(axis) if va_sd is not None else rep,
+            sc_tr,
+            sc_va,
             rep,
             rep,
         )
@@ -482,11 +493,16 @@ class Mart(LTRAlgorithm):
                 )
         cfg = self._grow_config(tr.num_bins)
         ens = EnsembleTensors.empty(self.ntrees, cfg.max_nodes)
-        scores_tr = jnp.zeros((tr.padded.num_docs_padded,), jnp.float32)
+
+        def _zero_scores(n):
+            # distinct buffers: the jitted step donates both components
+            return (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+
+        scores_tr = _zero_scores(tr.padded.num_docs_padded)
         scores_va = (
-            jnp.zeros((va.padded.num_docs_padded,), jnp.float32)
+            _zero_scores(va.padded.num_docs_padded)
             if va is not None
-            else jnp.zeros((1,), jnp.float32)
+            else _zero_scores(1)
         )
         start_iter = 0
         if warm_start and feat_axis is not None:
@@ -503,9 +519,9 @@ class Mart(LTRAlgorithm):
             ens = _copy_into(ens, src)
             start_iter = int(ens.num_trees)
             md = self._descend_depth()
-            scores_tr = rescore_binned(ens, tr.step, md)
+            scores_tr = (rescore_binned(ens, tr.step, md), scores_tr[1])
             if va is not None:
-                scores_va = rescore_binned(ens, va.step, md)
+                scores_va = (rescore_binned(ens, va.step, md), scores_va[1])
         self._post_init(tr)
         step = self._make_step(tr, va, metric, mesh)
         init_time = time.time() - t_init
@@ -522,7 +538,7 @@ class Mart(LTRAlgorithm):
         for m in range(start_iter, self.ntrees):
             t_iter = time.time()
             key = jax.random.fold_in(root_key, m)
-            new_presence = self._update_presence(m, tr, scores_tr, key)
+            new_presence = self._update_presence(m, tr, scores_tr[0], key)
             if new_presence is not None:
                 presence = new_presence
             ens, scores_tr, scores_va, m_tr, m_va = step(
@@ -727,19 +743,18 @@ class Mart(LTRAlgorithm):
 def rescore_binned(ens: EnsembleTensors, sd: StepData, max_depth: int):
     """Full scoring pass over binned docs (used by warm restarts — the
     reference recomputes scores rather than checkpointing them,
-    mart.cc:237-253)."""
+    mart.cc:237-253).  Kahan-compensated over trees, matching the training
+    loop's compensated score carry."""
+    from quickrank_tpu.ops.scoring import kahan_add
 
-    def body(acc, t):
+    def body(carry, t):
         tree = ens.tree(t)
         d = tree.leaf_value[descend_tree_binned(sd.binned, tree, max_depth)]
         w = jnp.where(t < ens.num_trees, ens.weight[t], 0.0)
-        return acc + w * d, None
+        return kahan_add(carry[0], carry[1], w * d), None
 
-    out, _ = jax.lax.scan(
-        body,
-        jnp.zeros((sd.binned.shape[0],), jnp.float32),
-        jnp.arange(ens.capacity),
-    )
+    z = jnp.zeros((sd.binned.shape[0],), jnp.float32)
+    (out, _), _ = jax.lax.scan(body, (z, z), jnp.arange(ens.capacity))
     return out
 
 

@@ -20,6 +20,21 @@ import jax.numpy as jnp
 from quickrank_tpu.trees.structs import EnsembleTensors, Tree
 
 
+def kahan_add(s: jnp.ndarray, c: jnp.ndarray, d: jnp.ndarray):
+    """One Kahan-compensated accumulation step: returns (s', c') with
+    ``s' + c' ~= s + c + d`` to ~f64 accuracy while staying in f32.
+
+    The reference accumulates ensemble scores in double (``Score = double``,
+    include/types.h:28-35; ensemble.cc:111-118); on TPU f64 is emulated and
+    slow, so compensated f32 is the native equivalent.  XLA does not
+    reassociate float arithmetic by default, so the correction term
+    survives compilation (asserted by tests/test_precision.py).
+    """
+    y = d - c
+    t = s + y
+    return t, (t - s) - y
+
+
 def descend_tree(features: jnp.ndarray, tree: Tree, max_depth: int) -> jnp.ndarray:
     """Leaf node id reached by every doc: i32 [N].
 
@@ -68,29 +83,37 @@ def descend_tree_binned(
     return jax.lax.fori_loop(0, max_depth, step, node0)
 
 
-@partial(jax.jit, static_argnames=("max_depth", "num_trees_hint"))
+@partial(
+    jax.jit, static_argnames=("max_depth", "num_trees_hint", "compensated")
+)
 def score_ensemble(
     features: jnp.ndarray,
     ens: EnsembleTensors,
     max_depth: Optional[int] = None,
     num_trees_hint: Optional[int] = None,
+    compensated: bool = False,
 ) -> jnp.ndarray:
     """Weighted ensemble scores: f32 [N] = sum_t weight_t * tree_t(doc).
 
     A scan over tree slots (memory-light; the per-tree descent is itself
     fully vectorized over docs).  Dead slots (t >= num_trees) have weight 0.
+    With ``compensated`` the sum over trees is Kahan-compensated — the f32
+    analog of the reference's double accumulator (ensemble.cc:111-118).
     """
     md = max_depth or ens.max_nodes
 
-    def body(acc, t):
+    def body(carry, t):
+        acc, comp = carry
         tree = ens.tree(t)
         s = score_tree(features, tree, md)
         w = jnp.where(t < ens.num_trees, ens.weight[t], 0.0)
-        return acc + w * s, None
+        if compensated:
+            return kahan_add(acc, comp, w * s), None
+        return (acc + w * s, comp), None
 
     T = num_trees_hint or ens.capacity
     init = jnp.zeros((features.shape[0],), jnp.float32)
-    out, _ = jax.lax.scan(body, init, jnp.arange(T))
+    (out, _), _ = jax.lax.scan(body, (init, init), jnp.arange(T))
     return out
 
 
