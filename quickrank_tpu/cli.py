@@ -41,6 +41,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard queries over this many devices (0 = single)")
     g.add_argument("--quiet", action="store_true",
                    help="suppress per-iteration progress output")
+    g.add_argument("--trace", metavar="DIR",
+                   help="capture a jax.profiler device trace of the "
+                        "training phase into DIR (TensorBoard/Perfetto)")
 
     t = p.add_argument_group("tree-based options")
     t.add_argument("--num-trees", type=int, default=1000)

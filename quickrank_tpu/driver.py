@@ -57,9 +57,20 @@ def _select_features(ds: Dataset, keep: np.ndarray) -> Dataset:
 
 
 def run(params: dict) -> dict:
-    """Full pipeline from a flat parameter dict (the pmap equivalent)."""
+    """Full pipeline from a flat parameter dict (the pmap equivalent).
+
+    Every phase is wall-clocked into ``results["timings"]`` (the reference's
+    std::chrono phase prints, mart.cc:216-258 / driver.cc:239-246), and
+    ``trace=DIR`` wraps the training phase in a jax.profiler device trace.
+    """
+    import contextlib
+
+    from quickrank_tpu.utils.profiling import phase_timer, trace
+
     p = params
     results: dict = {}
+    timings: dict = {}
+    results["timings"] = timings
     verbose = not p.get("quiet", False)
 
     train_metric = metric_factory(
@@ -122,12 +133,13 @@ def run(params: dict) -> dict:
 
     # -- datasets ------------------------------------------------------------
     train = valid = test = None
-    if p.get("train"):
-        train = load_dataset(p["train"], verbose)
-    if p.get("valid"):
-        valid = load_dataset(p["valid"], verbose)
-    if p.get("test"):
-        test = load_dataset(p["test"], verbose)
+    with phase_timer("load-data", sink=timings, verbose=False):
+        if p.get("train"):
+            train = load_dataset(p["train"], verbose)
+        if p.get("valid"):
+            valid = load_dataset(p["valid"], verbose)
+        if p.get("test"):
+            test = load_dataset(p["test"], verbose)
     if p.get("features"):
         # Restrict every split to the listed feature columns (quicklearn
         # declares --features, quicklearn.cc:197, but leaves the filtering
@@ -174,7 +186,15 @@ def run(params: dict) -> dict:
                 f"# note: {type(algo).__name__}.learn has no "
                 f"{'/'.join(dropped)} support; ignoring those flags"
             )
-        info = algo.learn(train, valid, train_metric, verbose=verbose, **kwargs)
+        tracer = (
+            trace(p["trace"]) if p.get("trace") else contextlib.nullcontext()
+        )
+        with tracer, phase_timer("train", sink=timings, verbose=False):
+            info = algo.learn(
+                train, valid, train_metric, verbose=verbose, **kwargs
+            )
+        if p.get("trace") and verbose:
+            print(f"# device trace captured to {p['trace']}")
         results["training"] = info
         if p.get("model_out"):
             algo.save(p["model_out"])
@@ -209,10 +229,11 @@ def run(params: dict) -> dict:
                     write_svml(pvalid, vp)
                     if verbose:
                         print(f"# partial valid scores saved to {vp}")
-        opt_info = optimizer.optimize(
-            algo, train, valid, train_metric, verbose=verbose,
-            ptrain=ptrain, pvalid=pvalid, mesh=mesh,
-        )
+        with phase_timer("optimize", sink=timings, verbose=False):
+            opt_info = optimizer.optimize(
+                algo, train, valid, train_metric, verbose=verbose,
+                ptrain=ptrain, pvalid=pvalid, mesh=mesh,
+            )
         results["optimization"] = opt_info
         if p.get("opt_model"):
             optimizer.save(p["opt_model"])
@@ -230,11 +251,14 @@ def run(params: dict) -> dict:
 
     # -- testing phase (driver.cc:326-385) -----------------------------------
     if test is not None:
-        scores = algo.score_dataset(test)
-        padded = shard_and_pad(test)
-        m = float(
-            test_metric.evaluate_dataset(padded, pack_doc_values(padded, scores))
-        )
+        with phase_timer("test", sink=timings, verbose=False):
+            scores = algo.score_dataset(test)
+            padded = shard_and_pad(test)
+            m = float(
+                test_metric.evaluate_dataset(
+                    padded, pack_doc_values(padded, scores)
+                )
+            )
         results["test_metric"] = m
         if verbose:
             print(f"# {test_metric!r} on test data: {m:.4f}")
@@ -256,12 +280,16 @@ def run(params: dict) -> dict:
         from quickrank_tpu.io import codegen
 
         generator = p.get("generator", "condop")
-        model = LTRAlgorithm.load(p["model_file"])
-        code = codegen.generate(model, generator)
-        with open(p["code_file"], "w") as f:
-            f.write(code)
+        with phase_timer("codegen", sink=timings, verbose=False):
+            model = LTRAlgorithm.load(p["model_file"])
+            code = codegen.generate(model, generator)
+            with open(p["code_file"], "w") as f:
+                f.write(code)
         if verbose:
             print(f"# {generator} code saved to {p['code_file']}")
 
+    if verbose and timings:
+        parts = " ".join(f"{k}={v:.2f}s" for k, v in timings.items())
+        print(f"# phase timings: {parts}")
     results["algo"] = algo
     return results

@@ -138,3 +138,33 @@ def test_cli_detailed_and_scores_outputs(tmp_path, splits):
     det = read_svml(str(d / "det.svml"))
     assert det.num_docs == test.num_docs
     assert det.num_features == 4  # one column per tree
+
+
+def test_driver_phase_timings_and_trace(tmp_path, splits):
+    """--trace DIR captures a jax.profiler device trace of training and the
+    driver records per-phase wall times (SURVEY.md §5 tracing row; the
+    reference's chrono phase prints, mart.cc:216-258)."""
+    import os
+
+    from quickrank_tpu import driver
+    from quickrank_tpu.data import write_svml
+
+    train, valid, _ = splits
+    write_svml(train, str(tmp_path / "train.svml"))
+    write_svml(valid, str(tmp_path / "test.svml"))
+    res = driver.run({
+        "algo": "MART",
+        "train": str(tmp_path / "train.svml"),
+        "test": str(tmp_path / "test.svml"),
+        "num_trees": 3, "num_leaves": 4, "num_thresholds": 16,
+        "trace": str(tmp_path / "trace"),
+        "quiet": True,
+    })
+    t = res["timings"]
+    assert set(t) >= {"load-data", "train", "test"}
+    assert all(v > 0 for v in t.values())
+    # the profiler wrote a plugin trace directory with at least one event file
+    found = []
+    for root, _, files in os.walk(tmp_path / "trace"):
+        found += [f for f in files if "trace" in f or f.endswith(".pb")]
+    assert found, "no trace artifacts captured"
