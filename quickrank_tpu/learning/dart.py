@@ -34,6 +34,7 @@ tie-break variance the reference has across OpenMP schedules).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -114,7 +115,17 @@ class Dart(LambdaMart):
         full rescoring + per-tree contribution rebuild; ``partial_save``
         writes <base>.T<k>.xml snapshots — the Mart-family --partial /
         --restart-train surface (mart.cc:237-253, :378-381) applied to the
-        DART loop, which the reference lacks."""
+        DART loop, which the reference lacks.
+
+        The per-iteration device pipeline — tree fit, tree weighting (incl.
+        the 16-point line search), keep-drop vs renormalized restore, and
+        both metrics — runs as ONE fixed-shape jitted call fed by a small
+        separately-jitted dropped-set delta kernel (only that cheap kernel
+        recompiles when the dropout pad grows); the host keeps an exact f32
+        mirror of the ensemble weights (updated from the same scalars the
+        device used), so each iteration costs two dispatches + one scalar
+        fetch instead of ~10 round trips.  That host chatter was the
+        dominant per-iteration cost over a remote-chip link."""
         metric = metric or self.default_metric()
         import time as _time
 
@@ -177,6 +188,13 @@ class Dart(LambdaMart):
             return tree, d_tr, d_va, contrib
 
         def _delta_body(ens, idx, w, sd):
+            """Score delta of the (padded) dropped set: sum_i w_i * tree_i(x).
+
+            Jitted SEPARATELY from the fused iteration: the pad length
+            doubles as the dropout count grows, and recompiling this small
+            descent scan costs seconds, whereas a pad-shape change inside
+            the fused pipeline would recompile the whole training step."""
+
             def body(acc, iw):
                 i, wi = iw
                 tree = ens.tree(i)
@@ -200,15 +218,146 @@ class Dart(LambdaMart):
             ms = jnp.where(valid, ms, -jnp.inf)
             return pts[jnp.argmax(ms)]
 
+        cap = self.ntrees + max(16, self.ntrees // 4)
+        nt = self.normalize_type
+        shr = self.shrinkage
+
+        def _iteration_body(
+            scores_tr, scores_va, delta_tr, delta_va, ens, dropmask, n_drop,
+            key, ref_tr, ref_va, force_keep, dc_sum, dcw_sum, tr_sd, va_sd,
+        ):
+            """One full DART iteration on device: drop -> fit -> weight ->
+            keep/restore -> metrics.  ``delta_tr``/``delta_va`` are the
+            dropped set's score contributions (from the separately-jitted
+            _delta_body) and ``dropmask`` is a fixed-shape [cap] bool mask
+            of the dropped slots, so this — the expensive pipeline — has no
+            pad-dependent shapes and compiles exactly once; all the
+            normalize/keep formulas (dart.cc:856-1060, :430-445) run here
+            so the host only supplies RNG decisions and reads back scalars.
+            """
+            have_drop = n_drop > 0
+
+            # 1. remove the dropped trees from the scores
+            s_tr = scores_tr - delta_tr
+            s_va = scores_va - delta_va if va_sd is not None else scores_va
+            w_orig = ens.weight
+            ens_z = ens.replace(weight=jnp.where(dropmask, 0.0, w_orig))
+
+            # 2. fit on the dropped-out scores
+            tree, d_tr, d_va, contribution = _fit_body(
+                s_tr, tr_sd.doc_mask, key, tr_sd, va_sd
+            )
+
+            # 3. initial weight of the fitted tree (dart.cc:944-1060)
+            s_ = jnp.float32(shr)
+            k = n_drop.astype(jnp.float32)
+            if nt == "LINESEARCH":
+                tw = _linesearch_body(s_tr, d_tr, tr_sd)
+            elif nt == "TREE_ADAPTIVE":
+                tw = s_ / (s_ + k)
+            elif nt == "TREE_BOOST3":
+                tw = (s_ * 3) / (s_ * 3 + k)
+            elif nt in ("CONTR", "WCONTR"):
+                tw = jnp.where(
+                    have_drop,
+                    (dc_sum / jnp.maximum(contribution, 1e-12)) * s_,
+                    s_,
+                )
+            elif nt == "LMART_ADAPTIVE":
+                tw = s_ / (self.rate_drop * ens.num_trees.astype(jnp.float32) + s_)
+            else:  # TREE / NONE / WEIGHTED / FOREST
+                tw = s_
+            ens_f = ens_z.push(tree, tw)
+            new_idx = ens_f.num_trees - 1
+            s_tr_fit = s_tr + tw * d_tr
+            m_tr_fit = eval_metric(metric, tr_sd, s_tr_fit, axis)
+            if va_sd is not None:
+                s_va_fit = s_va + tw * d_va
+                m_va_fit = eval_metric(metric, va_sd, s_va_fit, axis)
+                fit_improved = (m_va_fit > ref_va) & have_drop
+            else:
+                s_va_fit = s_va
+                m_va_fit = jnp.float32(jnp.nan)
+                fit_improved = (m_tr_fit > ref_tr) & have_drop
+
+            # 4. restored weights (normalize_trees_restore_drop,
+            #    dart.cc:856-942); no-drop iterations keep tw / factor 1
+            if nt in ("TREE", "TREE_ADAPTIVE", "TREE_BOOST3"):
+                alpha = 3.0 if nt == "TREE_BOOST3" else 1.0
+                w_new = (s_ * alpha) / (s_ * alpha + k)
+                factor = k / jnp.maximum(k + s_ * alpha, 1e-12)
+            elif nt == "NONE":
+                w_new, factor = s_, jnp.float32(1.0)
+            elif nt == "WEIGHTED":
+                dsum = jnp.sum(jnp.where(dropmask, w_orig, 0.0))
+                w_new = s_ / (dsum + s_)
+                factor = dsum / (dsum + s_)
+            elif nt == "FOREST":
+                w_new = s_ / (1.0 + s_)
+                factor = 1.0 / (1.0 + s_)
+            elif nt == "LINESEARCH":
+                w_new = tw / jnp.maximum(tw + k, 1e-12)
+                factor = k / jnp.maximum(k + tw, 1e-12)
+            elif nt in ("CONTR", "WCONTR"):
+                dc = dcw_sum if nt == "WCONTR" else dc_sum
+                cl = (tw if nt == "WCONTR" else 1.0) * contribution
+                tot = jnp.maximum(dc + cl, 1e-12)
+                w_new, factor = cl / tot, dc / tot
+            else:  # LMART_ADAPTIVE
+                w_new, factor = tw, jnp.float32(1.0)
+            w_new = jnp.where(have_drop, w_new, tw)
+            factor = jnp.where(have_drop, factor, 1.0)
+
+            def _restore(_):
+                ens_r_w = jnp.where(
+                    dropmask, w_orig * factor, ens_f.weight
+                ).at[new_idx].set(w_new)
+                # restored weights are wdrop*factor — a scalar multiple of
+                # the pre-drop weights — so re-adding the dropped set is
+                # factor * (the delta already computed), no re-descent
+                s_tr_r = s_tr + factor * delta_tr + w_new * d_tr
+                m_tr_r = eval_metric(metric, tr_sd, s_tr_r, axis)
+                if va_sd is not None:
+                    s_va_r = s_va + factor * delta_va + w_new * d_va
+                    m_va_r = eval_metric(metric, va_sd, s_va_r, axis)
+                else:
+                    s_va_r, m_va_r = s_va, jnp.float32(jnp.nan)
+                return ens_r_w, s_tr_r, s_va_r, m_tr_r, m_va_r
+
+            if self.keep_drop:
+                kept = fit_improved | (force_keep & have_drop)
+
+                def _keep(_):
+                    return (
+                        ens_f.weight, s_tr_fit, s_va_fit, m_tr_fit, m_va_fit
+                    )
+
+                w_out, s_tr_o, s_va_o, m_tr_o, m_va_o = jax.lax.cond(
+                    kept, _keep, _restore, None
+                )
+            else:
+                kept = jnp.asarray(False)
+                w_out, s_tr_o, s_va_o, m_tr_o, m_va_o = _restore(None)
+            ens_out = ens_f.replace(weight=w_out)
+            return (
+                s_tr_o, s_va_o, ens_out, contribution, tw, w_new, factor,
+                kept, m_tr_o, m_va_o,
+            )
+
         if mesh is None:
             # Data tensors passed as jit arguments (not closure constants) to
             # keep compiles fast and executables small.
             if va is not None:
-                _fit_j = jax.jit(_fit_body)
-                fit_fn = lambda s, p, k: _fit_j(s, p, k, tr.step, va.step)  # noqa: E731
+                _it_j = jax.jit(
+                    _iteration_body, donate_argnums=(0, 1, 4)
+                )
+                iteration = lambda *a: _it_j(*a, tr.step, va.step)  # noqa: E731
             else:
-                _fit_j = jax.jit(lambda s, p, k, trd: _fit_body(s, p, k, trd, None))
-                fit_fn = lambda s, p, k: _fit_j(s, p, k, tr.step)  # noqa: E731
+                _it_j = jax.jit(
+                    lambda *a: _iteration_body(*a, None),
+                    donate_argnums=(0, 1, 4),
+                )
+                iteration = lambda *a: _it_j(*a, tr.step)  # noqa: E731
             _delta_j = jax.jit(_delta_body)
             delta_tr_fn = lambda e, i, w: _delta_j(e, i, w, tr.step)  # noqa: E731
             delta_va_fn = (
@@ -221,8 +370,6 @@ class Dart(LambdaMart):
             eval_va = (
                 (lambda s: _eval_j(s, va.step)) if va is not None else (lambda s: 0.0)
             )
-            _ls_j = jax.jit(_linesearch_body)
-            linesearch16 = lambda s, d: _ls_j(s, d, tr.step)  # noqa: E731
         else:
             from quickrank_tpu.learning.mart import shard_map
             from quickrank_tpu.parallel.mesh import step_data_specs
@@ -233,23 +380,27 @@ class Dart(LambdaMart):
             tr_specs = step_data_specs(tr.step, axis)
             va_specs = step_data_specs(va.step, axis) if va is not None else None
             ens_specs = jax.tree.map(lambda _: rep, _ET.empty(1, 1))
-            tree_specs = jax.tree.map(lambda _: rep, Tree.empty(1))
+            Pva = Pd if va is not None else rep
 
-            fit_fn = jax.jit(
-                shard_map(
-                    lambda s, p, k, trd, vad=None: _fit_body(s, p, k, trd, vad),
-                    mesh,
-                    in_specs=(Pd, Pd, rep, tr_specs)
-                    + ((va_specs,) if va is not None else ()),
-                    out_specs=(tree_specs, Pd, Pd if va is not None else rep, rep),
-                )
+            sharded = shard_map(
+                (lambda *a: _iteration_body(*a))
+                if va is not None
+                else (lambda *a: _iteration_body(*a, None)),
+                mesh,
+                in_specs=(Pd, Pva, Pd, Pva, ens_specs) + (rep,) * 8
+                + (tr_specs,)
+                + ((va_specs,) if va is not None else ()),
+                out_specs=(Pd, Pva, ens_specs) + (rep,) * 7,
+                check_rep=False,
+            )
+            _it_j = jax.jit(
+                sharded,
+                donate_argnums=(0, 1, 4),
             )
             if va is not None:
-                _fit_inner = fit_fn
-                fit_fn = lambda s, p, k: _fit_inner(s, p, k, tr.step, va.step)  # noqa: E731
+                iteration = lambda *a: _it_j(*a, tr.step, va.step)  # noqa: E731
             else:
-                _fit_inner = fit_fn
-                fit_fn = lambda s, p, k: _fit_inner(s, p, k, tr.step)  # noqa: E731
+                iteration = lambda *a: _it_j(*a, tr.step)  # noqa: E731
 
             def _mk_delta(sd, specs):
                 inner = jax.jit(
@@ -279,17 +430,14 @@ class Dart(LambdaMart):
             eval_va = _mk_eval(va.step, va_specs) if va is not None else (
                 lambda s: 0.0
             )
-            _ls_inner = jax.jit(
-                shard_map(
-                    _linesearch_body, mesh,
-                    in_specs=(Pd, Pd, tr_specs), out_specs=rep,
-                )
-            )
-            linesearch16 = lambda s, d: _ls_inner(s, d, tr.step)  # noqa: E731
 
         # -- host state ----------------------------------------------------
-        cap = self.ntrees + max(16, self.ntrees // 4)
         ens = EnsembleTensors.empty(cap, cfg.max_nodes)
+        # exact f32 mirror of ens.weight, updated with the same scalars the
+        # device used — sampling probabilities and compaction zero-patterns
+        # never need a device round trip
+        w_host = np.zeros(cap, np.float32)
+        T_host = 0
         scores_tr = jnp.zeros((N,), jnp.float32)
         scores_va = (
             jnp.zeros((va.padded.num_docs_padded,), jnp.float32)
@@ -309,7 +457,11 @@ class Dart(LambdaMart):
         last_global_rescore = 0
         hist_tr, hist_va = [], []
         root_key = jax.random.PRNGKey(self.seed)
-        max_pad = 1  # current pad size for dropped-set kernels
+        # The dropped-set pad doubles as dropout grows; only the small
+        # _delta_body scan recompiles on a pad change (seconds) — the fused
+        # iteration sees fixed shapes (delta arrays + [cap] mask) and
+        # compiles exactly once.
+        max_pad = 1
 
         def pad_set(idx_list, w_list):
             nonlocal max_pad
@@ -352,99 +504,102 @@ class Dart(LambdaMart):
             best_va = m_va if va is not None else -np.inf
             best_iter = 0
             best_size = T0
-            best_weights = np.asarray(ens.weight)[:T0].copy()
+            T_host = T0
+            w_host[:T0] = np.asarray(ens.weight)[:T0]
+            best_weights = w_host[:T0].copy()
         init_time = _time.time() - t0
         if verbose:
             print(f"# {self.NAME}: {self!r}")
         t_train = _time.time()
+        iter_seconds: list[float] = []
         m = 0
-        while int(ens.num_trees) - dropped_before_cleaning < self.ntrees:
+        while T_host - dropped_before_cleaning < self.ntrees:
             m += 1
             if va is not None and self.esr and m > best_iter + self.esr:
                 break
+            t_iter = _time.time()
             key = jax.random.fold_in(root_key, m)
-            weights = np.asarray(ens.weight).copy()
-            T = int(ens.num_trees)
-            orig_weights = weights[:T].copy()
+
+            if T_host >= cap:
+                # Capacity guard: drop zero-weighted trees now, but keep the
+                # best-snapshot slots (always the first ``best_size`` by the
+                # append-only invariant) so the final rollback stays valid.
+                ens, contributions, w_host, T_host = (
+                    self._compact_zero_weights(
+                        ens, contributions, w_host, T_host,
+                        protect=max(best_size, 0),
+                    )
+                )
+                dropped_before_cleaning = int(
+                    np.sum(w_host[:T_host] == 0)
+                )
+                if T_host >= cap:
+                    raise RuntimeError(
+                        "DART ensemble buffer full: best snapshot plus live "
+                        "trees exceed capacity; raise ntrees headroom"
+                    )
 
             n_drop = self._trees_to_dropout(
-                rng, T - dropped_before_cleaning, dropout_factor_hist,
+                rng, T_host - dropped_before_cleaning, dropout_factor_hist,
                 perf_valid_hist, best_va if va is not None else best_tr,
             )
             random_keep_iter = n_drop > 0 and rng.random() <= self.random_keep
-
             dropped: list[int] = []
-            dropout_better = False
-            m_tr_drop = m_va_drop = 0.0
             if n_drop > 0:
                 dropped = self._select_dropout(
-                    rng, orig_weights, contributions, n_drop
+                    rng, w_host[:T_host], contributions, n_drop
                 )
-            if dropped:
-                idx, w = pad_set(dropped, orig_weights[dropped])
-                scores_tr = scores_tr - delta_tr_fn(ens, idx, w)
-                m_tr_drop = float(eval_tr(scores_tr))
-                if va is not None:
-                    scores_va = scores_va - delta_va_fn(ens, idx, w)
-                    m_va_drop = float(eval_va(scores_va))
-                    dropout_better = m_va_drop > m_va
-                else:
-                    dropout_better = m_tr_drop > m_tr
-                weights[dropped] = 0.0
-                ens = ens.replace(weight=jnp.asarray(weights))
-
-            presence = tr.step.doc_mask
-            tree, d_tr, d_va, contribution = fit_fn(scores_tr, presence, key)
-            contributions.append(float(contribution))
-
-            tree_weight = self._weight_last_tree(
-                len(dropped), orig_weights, dropped, contributions,
-                T, lambda: float(linesearch16(scores_tr, d_tr)),
+            dc_sum = float(sum(contributions[t] for t in dropped))
+            dcw_sum = float(
+                sum(w_host[t] * contributions[t] for t in dropped)
             )
-            ens = ens.push(tree, tree_weight)
-            new_idx = int(ens.num_trees) - 1
+            ref_tr = best_tr if self.drop_on_best else m_tr
+            ref_va = best_va if self.drop_on_best else m_va
 
-            # metric after adding the fitted tree on the dropped-out scores
-            s_tr_fit = scores_tr + tree_weight * d_tr
-            m_tr_fit = float(eval_tr(s_tr_fit))
-            if va is not None:
-                s_va_fit = scores_va + tree_weight * d_va
-                m_va_fit = float(eval_va(s_va_fit))
-
-            fit_improved = False
+            dropmask = np.zeros(cap, bool)
             if dropped:
-                ref_tr = best_tr if self.drop_on_best else m_tr
-                ref_va = best_va if self.drop_on_best else m_va
-                fit_improved = (
-                    (m_va_fit > ref_va) if va is not None else (m_tr_fit > ref_tr)
+                dropmask[dropped] = True
+                idx, w = pad_set(dropped, w_host[dropped])
+                delta_tr = delta_tr_fn(ens, idx, w)
+                delta_va = (
+                    delta_va_fn(ens, idx, w)
+                    if va is not None
+                    else jnp.zeros((1,), jnp.float32)
                 )
-
-            if self.keep_drop and (fit_improved or random_keep_iter):
-                # permanently drop D (X-DART, dart.cc:430-445)
-                dropped_before_cleaning += len(dropped)
-                scores_tr = s_tr_fit
-                m_tr = m_tr_fit
-                if va is not None:
-                    scores_va = s_va_fit
-                    m_va = m_va_fit
             else:
-                # restore D with renormalized weights + add the new tree
-                weights = np.asarray(ens.weight).copy()
-                if dropped:
-                    new_w = self._normalize_restore(
-                        orig_weights, dropped, tree_weight, contributions,
-                        new_idx,
-                    )
-                    weights[:T] = new_w[:T]
-                    weights[new_idx] = new_w[new_idx]
-                ens = ens.replace(weight=jnp.asarray(weights))
-                restore = dropped + [new_idx]
-                idx, w = pad_set(restore, weights[restore])
-                scores_tr = scores_tr + delta_tr_fn(ens, idx, w)
-                m_tr = float(eval_tr(scores_tr))
-                if va is not None:
-                    scores_va = scores_va + delta_va_fn(ens, idx, w)
-                    m_va = float(eval_va(scores_va))
+                # fresh zeros each time: these buffers are donated
+                delta_tr = jnp.zeros_like(scores_tr)
+                delta_va = jnp.zeros_like(scores_va)
+
+            # the whole expensive pipeline in one fixed-shape dispatch;
+            # everything below is host bookkeeping on the returned scalars
+            (
+                scores_tr, scores_va, ens, contribution, tw, w_new, factor,
+                kept, m_tr_j, m_va_j,
+            ) = iteration(
+                scores_tr, scores_va, delta_tr, delta_va, ens,
+                jnp.asarray(dropmask), len(dropped), key,
+                np.float32(ref_tr if np.isfinite(ref_tr) else -3e38),
+                np.float32(ref_va if np.isfinite(ref_va) else -3e38),
+                bool(random_keep_iter), np.float32(dc_sum),
+                np.float32(dcw_sum),
+            )
+            contributions.append(float(contribution))
+            m_tr = float(m_tr_j)
+            m_va = float(m_va_j) if va is not None else 0.0
+            kept = bool(kept)
+            new_idx = T_host
+            T_host += 1
+            if kept:
+                # permanently drop D (X-DART, dart.cc:430-445)
+                w_host[dropped] = 0.0
+                w_host[new_idx] = np.float32(tw)
+                dropped_before_cleaning += len(dropped)
+            else:
+                # D restored with renormalized weights (bitwise the same
+                # f32 products the device wrote)
+                w_host[dropped] = w_host[dropped] * np.float32(factor)
+                w_host[new_idx] = np.float32(w_new)
 
             hist_tr.append(m_tr)
             hist_va.append(m_va if va is not None else np.nan)
@@ -461,11 +616,13 @@ class Dart(LambdaMart):
                 if not self.best_on_train and va is not None:
                     best_va = m_va
                 best_iter = m
-                ens, contributions = self._compact_zero_weights(
-                    ens, contributions
+                ens, contributions, w_host, T_host = (
+                    self._compact_zero_weights(
+                        ens, contributions, w_host, T_host
+                    )
                 )
-                best_size = int(ens.num_trees)
-                best_weights = np.asarray(ens.weight)[:best_size].copy()
+                best_size = T_host
+                best_weights = w_host[:T_host].copy()
                 dropped_before_cleaning = 0
                 # periodic full rescoring to fight drift (dart.cc:552-558)
                 if m - last_global_rescore > 10:
@@ -489,11 +646,12 @@ class Dart(LambdaMart):
                 self.ensemble = _cpt(ens)
                 self.save(f"{output_basename}.T{m + iter_offset}.xml")
                 self.ensemble = snapshot
+            iter_seconds.append(_time.time() - t_iter)
             if verbose and (m < 5 or m % 10 == 0 or best_improved):
                 vtxt = f" {m_va:.6f}" if va is not None else ""
                 print(
                     f"# {m:5d} {m_tr:.6f}{vtxt} drop={len(dropped)} "
-                    f"size={int(ens.num_trees) - dropped_before_cleaning}"
+                    f"size={T_host - dropped_before_cleaning}"
                     f"{' *' if best_improved else ''}"
                 )
 
@@ -515,6 +673,7 @@ class Dart(LambdaMart):
             "best_valid": best_va if va is not None else None,
             "init_seconds": init_time,
             "train_seconds": _time.time() - t_train,
+            "iter_seconds": iter_seconds,
             "metric": repr(metric),
         }
         if verbose:
@@ -606,86 +765,32 @@ class Dart(LambdaMart):
             order = order[::-1]
         return [int(i) for i in order[:k]]
 
-    def _weight_last_tree(
-        self, k, weights, dropped, contributions, new_idx, linesearch_fn
-    ) -> float:
-        """Initial weight of the fitted tree (dart.cc:944-1060)."""
-        nt = self.normalize_type
-        if nt in ("TREE", "NONE", "WEIGHTED", "FOREST"):
-            return self.shrinkage
-        if nt == "TREE_ADAPTIVE":
-            return self.shrinkage / (self.shrinkage + k)
-        if nt == "TREE_BOOST3":
-            return (self.shrinkage * 3) / (self.shrinkage * 3 + k)
-        if nt == "LINESEARCH":
-            return linesearch_fn()
-        if nt in ("CONTR", "WCONTR"):
-            if k <= 0:
-                return self.shrinkage
-            dc = sum(contributions[t] for t in dropped)
-            cl = contributions[new_idx]
-            return (dc / max(cl, 1e-12)) * self.shrinkage
-        if nt == "LMART_ADAPTIVE":
-            return self.shrinkage / (self.rate_drop * new_idx + self.shrinkage)
-        raise AssertionError(nt)
-
-    def _normalize_restore(
-        self, orig_weights, dropped, tree_weight, contributions, new_idx
-    ) -> np.ndarray:
-        """Weights for restored dropped trees + the new tree
-        (normalize_trees_restore_drop, dart.cc:856-942)."""
-        k = len(dropped)
-        w = np.zeros(new_idx + 1, np.float64)
-        w[: len(orig_weights)] = orig_weights
-        nt = self.normalize_type
-        s = self.shrinkage
-        if nt in ("TREE", "TREE_ADAPTIVE", "TREE_BOOST3"):
-            alpha = 3.0 if nt == "TREE_BOOST3" else 1.0
-            w[new_idx] = (s * alpha) / (s * alpha + k)
-            norm = k / (k + s * alpha)
-            w[dropped] *= norm
-        elif nt == "NONE":
-            w[new_idx] = s
-        elif nt == "WEIGHTED":
-            dsum = float(np.sum(w[dropped]))
-            with_last = dsum + s
-            w[new_idx] = s / with_last
-            w[dropped] *= dsum / with_last
-        elif nt == "FOREST":
-            w[new_idx] = s / (1 + s)
-            w[dropped] *= 1 / (1 + s)
-        elif nt == "LINESEARCH":
-            w[new_idx] = tree_weight / (tree_weight + k)
-            w[dropped] *= k / (k + tree_weight)
-        elif nt in ("CONTR", "WCONTR"):
-            weight = (
-                (lambda t: w[t]) if nt == "WCONTR" else (lambda t: 1.0)
-            )
-            dc = sum(weight(t) * contributions[t] for t in dropped)
-            cl = (tree_weight if nt == "WCONTR" else 1.0) * contributions[new_idx]
-            tot = dc + cl
-            w[new_idx] = cl / max(tot, 1e-12)
-            w[dropped] *= dc / max(tot, 1e-12)
-        elif nt == "LMART_ADAPTIVE":
-            w[new_idx] = tree_weight
-        return w.astype(np.float32)
-
     # ------------------------------------------------------------------
 
     @staticmethod
-    def _compact_zero_weights(ens: EnsembleTensors, contributions):
+    def _compact_zero_weights(
+        ens: EnsembleTensors, contributions, w_host, T_host, protect: int = 0
+    ):
         """filter_out_zero_weighted_trees + contribution compaction
-        (ensemble.cc:149-169, dart.cc filter_out_zero_weighted_contributions)."""
-        T = int(ens.num_trees)
-        w = np.asarray(ens.weight)[:T]
-        keep = np.flatnonzero(w != 0)
-        if len(keep) == T:
-            return ens, contributions
-        sel = lambda x: jnp.asarray(  # noqa: E731
-            np.concatenate(
-                [np.asarray(x)[keep], np.asarray(x)[T:]], axis=0
-            )
+        (ensemble.cc:149-169, dart.cc filter_out_zero_weighted_contributions).
+
+        The zero pattern comes from the host weight mirror, so deciding
+        whether to compact costs no device round trip; when compaction does
+        happen it is a single device gather per tree tensor.  ``protect``
+        keeps the first N slots even when zero-weighted — the capacity-guard
+        compaction must preserve the best-snapshot trees for rollback."""
+        keep = np.flatnonzero(
+            (w_host[:T_host] != 0) | (np.arange(T_host) < protect)
         )
+        if len(keep) == T_host:
+            return ens, contributions, w_host, T_host
+        perm = np.concatenate([keep, np.arange(T_host, ens.capacity)])
+        gidx = jnp.asarray(
+            np.concatenate([perm, np.arange(len(perm), ens.capacity)]),
+            jnp.int32,
+        )
+        sel = lambda x: jnp.take(x, gidx, axis=0)  # noqa: E731
+        new_T = len(keep)
         new = EnsembleTensors(
             feature=sel(ens.feature),
             threshold=sel(ens.threshold),
@@ -694,27 +799,39 @@ class Dart(LambdaMart):
             right=sel(ens.right),
             is_leaf=sel(ens.is_leaf),
             leaf_value=sel(ens.leaf_value),
-            weight=sel(ens.weight),
-            num_trees=jnp.asarray(len(keep), jnp.int32),
+            weight=jnp.where(
+                jnp.arange(ens.capacity) < new_T, sel(ens.weight), 0.0
+            ),
+            num_trees=jnp.asarray(new_T, jnp.int32),
         )
         contributions = [contributions[i] for i in keep]
-        return new, contributions
+        w2 = np.zeros_like(w_host)
+        w2[:new_T] = w_host[keep]
+        return new, contributions, w2, new_T
 
     @staticmethod
-    def _full_rescore(ens: EnsembleTensors, td: TrainData, md: int):
+    @partial(jax.jit, static_argnames=("md",))
+    def _full_rescore_j(ens: EnsembleTensors, binned, md: int):
+        """Score in bin space via per-tree descent (exact same routing as
+        training); Kahan-compensated like the Mart-family score carries.
+        Jitted with the data as an ARGUMENT: an eager scan would close over
+        the ensemble tensors as constants and re-trace/re-compile on every
+        periodic rescore (~5 s per call on the TPU tunnel)."""
         from quickrank_tpu.ops.scoring import kahan_add
 
-        # Score in bin space via per-tree descent (exact same routing);
-        # Kahan-compensated like the Mart-family score carries.
         def body(carry, t):
             tree = ens.tree(t)
-            d = tree.leaf_value[descend_tree_binned(td.step.binned, tree, md)]
+            d = tree.leaf_value[descend_tree_binned(binned, tree, md)]
             w = jnp.where(t < ens.num_trees, ens.weight[t], 0.0)
             return kahan_add(carry[0], carry[1], w * d), None
 
-        z = jnp.zeros((td.step.binned.shape[0],), jnp.float32)
+        z = jnp.zeros((binned.shape[0],), jnp.float32)
         (out, _), _ = jax.lax.scan(body, (z, z), jnp.arange(ens.capacity))
         return out
+
+    @classmethod
+    def _full_rescore(cls, ens: EnsembleTensors, td: TrainData, md: int):
+        return cls._full_rescore_j(ens, td.step.binned, md)
 
     def _info_dict(self) -> dict:
         d = super()._info_dict()
