@@ -219,3 +219,45 @@ def test_dart_partial_saves_and_resume(tmp_path, splits):
     s = resumed.score_dataset(train)
     assert np.isfinite(s).all()
     assert info["train"], "no resumed iterations recorded"
+
+
+def test_dart_compaction_protects_best_snapshot():
+    """The capacity-guard compaction keeps zero-weighted trees inside the
+    protected (best-snapshot) prefix but removes later zero-weight slots,
+    preserving slot order so the end-of-training rollback stays valid."""
+    from quickrank_tpu.trees.structs import EnsembleTensors, Tree
+
+    cap, T = 8, 6
+    ens = EnsembleTensors.empty(cap, 7)
+    for t in range(T):
+        tree = Tree.empty(7)
+        tree = tree.replace(leaf_value=tree.leaf_value.at[0].set(float(t + 1)))
+        ens = ens.push(tree, 0.1)
+    w_host = np.array([0.3, 0.0, 0.2, 0.0, 0.0, 0.4, 0.0, 0.0], np.float32)
+    contributions = [float(i) for i in range(T)]
+
+    # protect=3: slot 1 (zero weight, inside the best prefix) must survive;
+    # slots 3 and 4 (zero weight, after the prefix) must be dropped.
+    new, contr, w2, T2 = Dart._compact_zero_weights(
+        ens, contributions, w_host.copy(), T, protect=3
+    )
+    assert T2 == 4
+    np.testing.assert_allclose(w2[:T2], np.float32([0.3, 0.0, 0.2, 0.4]))
+    assert contr == [0.0, 1.0, 2.0, 5.0]
+    # tree contents follow their weights (leaf_value marks identity)
+    np.testing.assert_array_equal(
+        np.asarray(new.leaf_value)[:T2, 0], [1.0, 2.0, 3.0, 6.0]
+    )
+    assert int(new.num_trees) == 4
+    # weights beyond the new count are zeroed on device
+    assert float(np.abs(np.asarray(new.weight)[T2:]).max()) == 0.0
+
+    # without protection all zero-weight trees go
+    new0, contr0, w0, T0 = Dart._compact_zero_weights(
+        ens, contributions, w_host.copy(), T
+    )
+    assert T0 == 3
+    np.testing.assert_allclose(w0[:T0], np.float32([0.3, 0.2, 0.4]))
+    np.testing.assert_array_equal(
+        np.asarray(new0.leaf_value)[:T0, 0], [1.0, 3.0, 6.0]
+    )
