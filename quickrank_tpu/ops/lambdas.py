@@ -64,47 +64,38 @@ def _lambda_block_banded(scores, labels, slot_mask, nvalid, metric):
     else:
         inv = jnp.ones(scores.shape[:-1], scores.dtype)
 
-    def block(j_sl, j_ss, j_sm, j_disc, j_g, k_sl, k_ss, k_sm, k_disc, k_g):
-        # f[j, k] = mask * rho * |delta|, fw likewise with rho(1-rho)
-        delta = jnp.abs(
-            (k_disc[..., None, :] - j_disc[..., :, None])
-            * (j_g[..., :, None] - k_g[..., None, :])
-        ) * inv[..., None, None]
-        mask = (
-            (j_sl[..., :, None] > k_sl[..., None, :])
-            & j_sm[..., :, None]
-            & k_sm[..., None, :]
-        )
-        rho = jax.nn.sigmoid(k_ss[..., None, :] - j_ss[..., :, None])
-        f = jnp.where(mask, rho * delta, 0.0)
-        fw = jnp.where(mask, rho * (1.0 - rho) * delta, 0.0)
-        return f, fw
-
+    # ONE [.., cut, D] pair block covers both rectangles: rows are the
+    # cut slice, cols are all docs.  Block A is the (row label > col label)
+    # half; block B — originally [D, cut], whose 10-wide lane dim the TPU
+    # would pad to 128 — is computed TRANSPOSED as the (row label < col
+    # label) half of the same block, because delta is symmetric in (j, k)
+    # and sigmoid(-x) = 1 - sigmoid(x).  The two halves fold into a single
+    # signed tensor G for lambdas and a single W for weights (the weight
+    # product rho(1-rho) is symmetric), and the per-query 1/IDCG scales
+    # linearly so it applies once after the sums, not per pair.
     c = lambda x: x[..., :cut]  # noqa: E731
-    A, Aw = block(
-        c(sl), c(ss), c(sm), c(disc), c(g), sl, ss, sm, disc, g
-    )  # [C, cut, D]
-    B, Bw = block(
-        sl, ss, sm, disc, g, c(sl), c(ss), c(sm), c(disc), c(g)
-    )  # [C, D, cut]
-
-    rowsum_A = jnp.sum(A, axis=-1)  # [C, cut]
-    colsum_A = jnp.sum(A, axis=-2)  # [C, D]
-    rowsum_B = jnp.sum(B, axis=-1)  # [C, D]
-    colsum_B = jnp.sum(B, axis=-2)  # [C, cut]
-    rowsum_Aw = jnp.sum(Aw, axis=-1)
-    colsum_Aw = jnp.sum(Aw, axis=-2)
-    rowsum_Bw = jnp.sum(Bw, axis=-1)
-    colsum_Bw = jnp.sum(Bw, axis=-2)
+    row_sl, row_ss, row_sm = c(sl), c(ss), c(sm)
+    delta = jnp.abs(
+        (disc[..., None, :] - c(disc)[..., :, None])
+        * (c(g)[..., :, None] - g[..., None, :])
+    )
+    rho = jax.nn.sigmoid(ss[..., None, :] - row_ss[..., :, None])
+    rd = rho * delta
+    valid = row_sm[..., :, None] & sm[..., None, :]
+    gt = row_sl[..., :, None] > sl[..., None, :]
+    lt = row_sl[..., :, None] < sl[..., None, :]
+    G = jnp.where(gt & valid, rd, 0.0) - jnp.where(lt & valid, delta - rd, 0.0)
+    W = jnp.where((gt | lt) & valid, rd * (1.0 - rho), 0.0)
 
     in_cut = jnp.arange(D) < cut
     pad = lambda x: jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, D - cut)])  # noqa: E731
+    # in-cut docs: +sum over their row; beyond-cut docs: -sum over their col
     lam_rank = jnp.where(
-        in_cut, pad(rowsum_A) - pad(colsum_B), rowsum_B - colsum_A
-    )
+        in_cut, pad(jnp.sum(G, axis=-1)), -jnp.sum(G, axis=-2)
+    ) * inv[..., None]
     w_rank = jnp.where(
-        in_cut, pad(rowsum_Aw) + pad(colsum_Bw), rowsum_Bw + colsum_Aw
-    )
+        in_cut, pad(jnp.sum(W, axis=-1)), jnp.sum(W, axis=-2)
+    ) * inv[..., None]
 
     ranks = core.inverse_permutation(order)
     lam = jnp.take_along_axis(lam_rank, ranks, axis=-1)
@@ -178,10 +169,13 @@ def lambda_gradients(
     # cutoff, mirroring the reference's loop break, lambdamart.cc:124-126).
     banded = type(metric) in (Dcg, Ndcg) and 3 * cut <= D
     block = _lambda_block_banded if banded else _lambda_block
-    pair_elems = (2 * cut * D) if banded else (D * D)
+    pair_elems = (cut * D) if banded else (D * D)
     if query_chunk is None:
-        # ~6 live pair tensors; keep them under ~1 GB total
-        budget = (1 << 30) // (6 * 4 * max(pair_elems, 1))
+        # ~4 live pair tensors; ~45 MB each is the measured sweet spot on
+        # v5e (smaller chunks pay lax.map loop overhead, bigger ones spill
+        # past the cache-friendly working set: 300 ms -> 223 ms per pass at
+        # MSLR scale, BENCHMARKS.md)
+        budget = (45 << 20) // (4 * max(pair_elems, 1))
         if budget >= Q:
             query_chunk = Q
         else:
