@@ -24,6 +24,7 @@ import dataclasses
 from typing import Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from flax import struct
 
@@ -289,15 +290,24 @@ def unpack_doc_values(padded: PaddedDataset, values_padded_order) -> jnp.ndarray
 
 
 def gather_unpad(padded_vals, inv_q, inv_slot, doc_mask):
-    """Padded [Q, D] per-query values -> flat per-doc array via the inverse
-    maps — a pure gather, replacing the sort-based scatter of
-    :func:`scatter_flat` on the hot path."""
+    """Padded [Q, D, ...] per-query values -> flat per-doc array via the
+    inverse maps — a pure gather, replacing the sort-based scatter of
+    :func:`scatter_flat` on the hot path.  Stack multiple arrays on a
+    trailing axis to amortize the gather (it costs ~15 ms per call at MSLR
+    scale regardless of a small trailing dim)."""
     out = padded_vals[inv_q, inv_slot]
-    return jnp.where(doc_mask, out, 0).astype(padded_vals.dtype)
+    mask = doc_mask.reshape(doc_mask.shape + (1,) * (out.ndim - 1))
+    return jnp.where(mask, out, 0).astype(padded_vals.dtype)
 
 
 def gather_padded(flat: jnp.ndarray, pad_index: jnp.ndarray, slot_mask: jnp.ndarray, fill=0.0):
-    """Flat per-doc array -> padded ``[Q, D]`` per-query view (shard-local)."""
+    """Flat per-doc array -> padded ``[Q, D]`` per-query view (shard-local).
+
+    NOTE: this gather costs ~30 ms per call at MSLR scale on TPU (XLA
+    serializes doc-axis gathers); the training step avoids it on its hot
+    path by carrying the [Q, D] score views across iterations and keeping
+    a precomputed ``labels2d`` in StepData — keep new per-iteration calls
+    off the training loop."""
     out = flat[pad_index]
     return jnp.where(slot_mask, out, jnp.asarray(fill, dtype=out.dtype))
 

@@ -31,23 +31,37 @@ class LambdaMart(Mart):
         super().__init__(*args, **kw)
         self.query_chunk = query_chunk
 
-    def _gradients(self, sd: StepData, scores, sample_mask, key):
+    def _gradients(self, sd: StepData, scores, sample_mask, key,
+                   scores2d=None, full_mask=False):
         # pad_index is shard-local, so the whole lambda computation is
         # chip-local — per-query work never crosses shards (the SPMD analog
         # of the per-query OpenMP loop, lambdamart.cc:70).
+        # ``scores2d``/``full_mask`` keep the expensive flat->view gathers
+        # off the hot path: the step carries the score view across
+        # iterations, labels are pre-viewed in StepData, and when no doc
+        # subsampling/deselection is active the sample mask IS doc_mask, so
+        # its view is just slot_mask.
         idx = sd.pad_index
-        s = gather_padded(scores, idx, sd.slot_mask)
-        l = gather_padded(sd.labels, idx, sd.slot_mask)
-        present = gather_padded(sample_mask, idx, sd.slot_mask, fill=False)
-        slot_mask = sd.slot_mask & present
-        nvalid = jnp.sum(slot_mask, axis=-1).astype(jnp.int32)
+        s = (
+            scores2d
+            if scores2d is not None
+            else gather_padded(scores, idx, sd.slot_mask)
+        )
+        if full_mask:
+            slot_mask, nvalid = sd.slot_mask, sd.nvalid
+        else:
+            present = gather_padded(sample_mask, idx, sd.slot_mask, fill=False)
+            slot_mask = sd.slot_mask & present
+            nvalid = jnp.sum(slot_mask, axis=-1).astype(jnp.int32)
         lam, w = lambda_gradients(
-            s, l, slot_mask, nvalid, self._train_metric, self.query_chunk
+            s, sd.labels2d, slot_mask, nvalid, self._train_metric,
+            self.query_chunk,
         )
-        return (
-            gather_unpad(lam, sd.inv_q, sd.inv_slot, sd.doc_mask),
-            gather_unpad(w, sd.inv_q, sd.inv_slot, sd.doc_mask),
+        # one stacked view->flat gather instead of two
+        lw = gather_unpad(
+            jnp.stack([lam, w], axis=-1), sd.inv_q, sd.inv_slot, sd.doc_mask
         )
+        return lw[..., 0], lw[..., 1]
 
     def _make_step(self, tr, va, metric, mesh):
         # The lambda kernel needs the training metric's delta matrix

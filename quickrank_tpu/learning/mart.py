@@ -73,6 +73,9 @@ class StepData:
 
     binned: jnp.ndarray  # i32 [N, F]
     labels: jnp.ndarray  # f32 [N]
+    labels2d: jnp.ndarray  # f32 [Q, D] — precomputed padded view (the
+    #   flat->view gather costs ~30 ms/call at MSLR scale; labels never
+    #   change, so it is paid once here instead of every metric/lambda pass)
     doc_mask: jnp.ndarray  # bool [N]
     pad_index: jnp.ndarray  # i32 [Q, D] (shard-local row ids)
     inv_q: jnp.ndarray  # i32 [N] shard-local query of each doc row
@@ -83,12 +86,19 @@ class StepData:
     thresholds: jnp.ndarray  # f32 [F, B] (replicated)
 
 
-def eval_metric(metric: Metric, sd: StepData, scores, axis_name=None):
+def eval_metric(metric: Metric, sd: StepData, scores, axis_name=None,
+                scores2d=None):
     """Dataset-level metric on (possibly sharded) step data: per-query eval,
-    then a (num, den) psum across chips (metric.h:77-106's mean)."""
-    s = gather_padded(scores, sd.pad_index, sd.slot_mask)
-    l = gather_padded(sd.labels, sd.pad_index, sd.slot_mask)
-    pq = metric.evaluate_per_query(s, l, sd.slot_mask, sd.nvalid)
+    then a (num, den) psum across chips (metric.h:77-106's mean).
+
+    Pass ``scores2d`` when the [Q, D] view is already live (the training
+    step carries it) — the flat->view gather is the expensive part."""
+    s = (
+        scores2d
+        if scores2d is not None
+        else gather_padded(scores, sd.pad_index, sd.slot_mask)
+    )
+    pq = metric.evaluate_per_query(s, sd.labels2d, sd.slot_mask, sd.nvalid)
     num, den = metric.aggregate(pq, sd.query_mask, jnp.sum(sd.doc_mask))
     if axis_name is not None:
         num = jax.lax.psum(num, axis_name)
@@ -145,6 +155,12 @@ class TrainData:
             # stays u8/u16 on device (4x memory at MSLR scale); kernels widen
             binned=jnp.asarray(wire),
             labels=padded.labels,
+            # built host-side over the GLOBAL flat layout, so the global
+            # index map applies (shard-local pad_index is for inside
+            # shard_map only, CLAUDE.md)
+            labels2d=gather_padded(
+                padded.labels, padded.pad_index_global, padded.slot_mask
+            ),
             doc_mask=padded.doc_mask,
             pad_index=padded.pad_index,
             inv_q=padded.inv_q,
@@ -212,9 +228,10 @@ class Mart(LTRAlgorithm):
 
     # -- hooks for subclasses ------------------------------------------------
 
-    def _gradients(self, sd: StepData, scores, sample_mask, key):
+    def _gradients(self, sd: StepData, scores, sample_mask, key, **_unused):
         """(pseudoresponses, newton_weights|None) — MART: label - score
-        (mart.cc:418-431)."""
+        (mart.cc:418-431).  Extra kwargs (scores2d/full_mask fast-path hints
+        used by the LambdaMart override) are ignored here."""
         return (sd.labels - scores).astype(jnp.float32), None
 
     def _grow_config(
@@ -311,7 +328,17 @@ class Mart(LTRAlgorithm):
             # because they derive from psum'd histograms.
             k1 = jax.random.fold_in(k1, jax.lax.axis_index(axis_name))
         smask = self._sample_mask(tr, k1, presence & tr.doc_mask)
-        grad, w = self._gradients(tr, scores_tr[0], smask, k2)
+        # When nothing deselects docs (no subsampling, no presence hook),
+        # the sample mask IS doc_mask — its [Q, D] view is slot_mask, so
+        # the lambda kernel can skip that flat->view gather entirely.
+        full_presence = (
+            self.subsample == 1.0
+            and type(self)._update_presence is Mart._update_presence
+        )
+        grad, w = self._gradients(
+            tr, scores_tr[0], smask, k2,
+            scores2d=scores_tr[2], full_mask=full_presence,
+        )
         tree, node = self._fit_and_assign(tr, grad, smask, cfg, k3, axis_name)
         tree = leaf_outputs(
             tree,
@@ -332,15 +359,30 @@ class Mart(LTRAlgorithm):
         # (tests/test_precision.py).
         from quickrank_tpu.ops.scoring import kahan_add
 
+        # Scores are carried in BOTH layouts — flat [N] (the truth, feeds
+        # gradients/tree fitting) and the padded [Q, D] view (feeds metric +
+        # lambda passes).  Identical f32/Kahan updates keep the view
+        # bitwise equal to re-gathering the flat array, at the cost of ONE
+        # increment gather per iteration instead of one per consumer.
         d_tr = tree.leaf_value[jnp.maximum(node, 0)]
-        s_tr = kahan_add(scores_tr[0], scores_tr[1], shrinkage * d_tr)
-        m_tr = eval_metric(metric, tr, s_tr[0], axis_name)
+        inc_tr = shrinkage * d_tr
+        s_tr = kahan_add(scores_tr[0], scores_tr[1], inc_tr)
+        s2_tr = kahan_add(
+            scores_tr[2], scores_tr[3],
+            gather_padded(inc_tr, tr.pad_index, tr.slot_mask),
+        )
+        m_tr = eval_metric(metric, tr, s_tr[0], axis_name, scores2d=s2_tr[0])
         if va is None:
-            return ens2, s_tr, scores_va, m_tr, jnp.float32(jnp.nan)
+            return ens2, s_tr + s2_tr, scores_va, m_tr, jnp.float32(jnp.nan)
         d_va = tree.leaf_value[descend_tree_binned(va.binned, tree, md)]
-        s_va = kahan_add(scores_va[0], scores_va[1], shrinkage * d_va)
-        m_va = eval_metric(metric, va, s_va[0], axis_name)
-        return ens2, s_tr, s_va, m_tr, m_va
+        inc_va = shrinkage * d_va
+        s_va = kahan_add(scores_va[0], scores_va[1], inc_va)
+        s2_va = kahan_add(
+            scores_va[2], scores_va[3],
+            gather_padded(inc_va, va.pad_index, va.slot_mask),
+        )
+        m_va = eval_metric(metric, va, s_va[0], axis_name, scores2d=s2_va[0])
+        return ens2, s_tr + s2_tr, s_va + s2_va, m_tr, m_va
 
     def _make_step(
         self,
@@ -394,10 +436,15 @@ class Mart(LTRAlgorithm):
                 ens, s_tr, s_va, key, presence, tr_sd, va_sd_, metric, cfg, axis
             )
 
-        # training/valid scores are (sum, kahan-compensation) pairs — both
-        # components shard with the docs
-        sc_tr = (P(axis), P(axis))
-        sc_va = (P(axis), P(axis)) if va_sd is not None else (rep, rep)
+        # training/valid scores are (sum, comp, sum2d, comp2d) — flat Kahan
+        # pair sharded with the docs, [Q, D] view pair sharded with the
+        # queries
+        sc_tr = (P(axis), P(axis), P(axis, None), P(axis, None))
+        sc_va = (
+            (P(axis), P(axis), P(axis, None), P(axis, None))
+            if va_sd is not None
+            else (rep, rep, rep, rep)
+        )
         in_specs = (
             ens_specs,
             sc_tr,
@@ -494,15 +541,23 @@ class Mart(LTRAlgorithm):
         cfg = self._grow_config(tr.num_bins)
         ens = EnsembleTensors.empty(self.ntrees, cfg.max_nodes)
 
-        def _zero_scores(n):
-            # distinct buffers: the jitted step donates both components
-            return (jnp.zeros((n,), jnp.float32), jnp.zeros((n,), jnp.float32))
+        def _zero_scores(n, qd):
+            # distinct buffers: the jitted step donates all four components
+            # (flat Kahan pair + [Q, D] view Kahan pair)
+            return (
+                jnp.zeros((n,), jnp.float32),
+                jnp.zeros((n,), jnp.float32),
+                jnp.zeros(qd, jnp.float32),
+                jnp.zeros(qd, jnp.float32),
+            )
 
-        scores_tr = _zero_scores(tr.padded.num_docs_padded)
+        scores_tr = _zero_scores(
+            tr.padded.num_docs_padded, tr.step.slot_mask.shape
+        )
         scores_va = (
-            _zero_scores(va.padded.num_docs_padded)
+            _zero_scores(va.padded.num_docs_padded, va.step.slot_mask.shape)
             if va is not None
-            else _zero_scores(1)
+            else _zero_scores(1, (1, 1))
         )
         start_iter = 0
         if warm_start and feat_axis is not None:
@@ -519,9 +574,24 @@ class Mart(LTRAlgorithm):
             ens = _copy_into(ens, src)
             start_iter = int(ens.num_trees)
             md = self._descend_depth()
-            scores_tr = (rescore_binned(ens, tr.step, md), scores_tr[1])
+            # host-side gathers over the GLOBAL flat layout -> global map
+            s0 = rescore_binned(ens, tr.step, md)
+            scores_tr = (
+                s0, scores_tr[1],
+                gather_padded(
+                    s0, tr.padded.pad_index_global, tr.step.slot_mask
+                ),
+                scores_tr[3],
+            )
             if va is not None:
-                scores_va = (rescore_binned(ens, va.step, md), scores_va[1])
+                v0 = rescore_binned(ens, va.step, md)
+                scores_va = (
+                    v0, scores_va[1],
+                    gather_padded(
+                        v0, va.padded.pad_index_global, va.step.slot_mask
+                    ),
+                    scores_va[3],
+                )
         self._post_init(tr)
         step = self._make_step(tr, va, metric, mesh)
         init_time = time.time() - t_init

@@ -16,5 +16,5 @@ from quickrank_tpu.learning.mart import Mart, StepData
 class RandomForest(Mart):
     NAME = "RANDOMFOREST"
 
-    def _gradients(self, sd: StepData, scores, sample_mask, key):
+    def _gradients(self, sd: StepData, scores, sample_mask, key, **_unused):
         return sd.labels.astype(jnp.float32), None

@@ -48,6 +48,37 @@ def ranks_of_slots(scores: jnp.ndarray, slot_mask: jnp.ndarray) -> jnp.ndarray:
     return inverse_permutation(rank_order(scores, slot_mask))
 
 
+def sort_by_score(scores, slot_mask, *extras):
+    """ONE stable multi-operand sort by descending score.
+
+    Returns ``(order, sorted_mask, *sorted_extras)`` — the same permutation
+    as :func:`rank_order` (identical key and tie order), but the payloads
+    ride the sort instead of being fetched with per-row ``take_along_axis``
+    gathers afterwards, which are ~50x slower than the sort itself on TPU
+    (each is a random-access gather; the sort's payload moves are fused).
+    """
+    D = scores.shape[-1]
+    key = jnp.where(slot_mask, -scores, jnp.inf)
+    iota = jnp.broadcast_to(
+        jnp.arange(D, dtype=jnp.int32), scores.shape
+    )
+    out = jax.lax.sort(
+        (key, iota, slot_mask) + tuple(extras),
+        dimension=-1, is_stable=True, num_keys=1,
+    )
+    return out[1], out[2], *out[3:]
+
+
+def unsort_to_slots(order, *vals):
+    """Map rank-space arrays back to slot space: sorting ``(order, vals…)``
+    by the permutation places ``vals[r]`` at slot ``order[r]`` — one fused
+    sort instead of ``inverse_permutation`` + a gather per array."""
+    out = jax.lax.sort(
+        (order,) + tuple(vals), dimension=-1, is_stable=True, num_keys=1
+    )
+    return out[1:] if len(vals) > 1 else out[1]
+
+
 def gains(labels: jnp.ndarray) -> jnp.ndarray:
     """2^label - 1 (exponential gain, dcg.cc:35-39)."""
     return jnp.exp2(labels) - 1.0
@@ -65,9 +96,7 @@ def discounts(D: int, cutoff: int, nvalid: jnp.ndarray) -> jnp.ndarray:
 def sorted_labels_by_score(scores, labels, slot_mask):
     """Labels re-ordered by descending score per query; padding tail is -inf
     gain-neutral (label 0 with mask False)."""
-    order = rank_order(scores, slot_mask)
-    sl = jnp.take_along_axis(labels, order, axis=-1)
-    sm = jnp.take_along_axis(slot_mask, order, axis=-1)
+    order, sm, sl = sort_by_score(scores, slot_mask, labels)
     return jnp.where(sm, sl, 0.0), sm, order
 
 
@@ -103,10 +132,9 @@ def tndcg(scores, labels, slot_mask, nvalid, cutoff: int):
     """Tie-aware NDCG: gains averaged across tied-score groups
     (tndcg.cc:36-66)."""
     idcg = ideal_dcg(labels, slot_mask, nvalid, cutoff)
-    order = rank_order(scores, slot_mask)
-    ss = jnp.take_along_axis(jnp.where(slot_mask, scores, NEG_INF), order, axis=-1)
-    sl = jnp.take_along_axis(labels, order, axis=-1)
-    sm = jnp.take_along_axis(slot_mask, order, axis=-1)
+    order, sm, ss, sl = sort_by_score(
+        scores, slot_mask, jnp.where(slot_mask, scores, NEG_INF), labels
+    )
     g = jnp.where(sm, gains(sl), 0.0)
     # Tie groups among *valid* docs: equality matrix over rank-ordered scores.
     same = (ss[..., :, None] == ss[..., None, :]) & sm[..., :, None] & sm[..., None, :]

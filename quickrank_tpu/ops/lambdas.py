@@ -48,10 +48,8 @@ def _lambda_block_banded(scores, labels, slot_mask, nvalid, metric):
     from quickrank_tpu.metrics.metrics import Dcg, Ndcg
 
     normalize = type(metric) is Ndcg
-    order = core.rank_order(scores, slot_mask)
-    ss = jnp.take_along_axis(scores, order, axis=-1)
-    sl = jnp.take_along_axis(labels, order, axis=-1)
-    sm = jnp.take_along_axis(slot_mask, order, axis=-1)
+    # one multi-operand sort carries scores/labels into rank space
+    order, sm, ss, sl = core.sort_by_score(scores, slot_mask, scores, labels)
     sl = jnp.where(sm, sl, 0.0)
 
     D = scores.shape[-1]
@@ -97,9 +95,8 @@ def _lambda_block_banded(scores, labels, slot_mask, nvalid, metric):
         in_cut, pad(jnp.sum(W, axis=-1)), jnp.sum(W, axis=-2)
     ) * inv[..., None]
 
-    ranks = core.inverse_permutation(order)
-    lam = jnp.take_along_axis(lam_rank, ranks, axis=-1)
-    w = jnp.take_along_axis(w_rank, ranks, axis=-1)
+    # rank -> slot unmap rides a second sort (no inverse-perm gathers)
+    lam, w = core.unsort_to_slots(order, lam_rank, w_rank)
     return (
         jnp.where(slot_mask, lam, 0.0).astype(jnp.float32),
         jnp.where(slot_mask, w, 0.0).astype(jnp.float32),
@@ -108,10 +105,7 @@ def _lambda_block_banded(scores, labels, slot_mask, nvalid, metric):
 
 def _lambda_block(scores, labels, slot_mask, nvalid, metric):
     """One query block: returns (lambdas, weights) in *slot* space [C, D]."""
-    order = core.rank_order(scores, slot_mask)
-    ss = jnp.take_along_axis(scores, order, axis=-1)
-    sl = jnp.take_along_axis(labels, order, axis=-1)
-    sm = jnp.take_along_axis(slot_mask, order, axis=-1)
+    order, sm, ss, sl = core.sort_by_score(scores, slot_mask, scores, labels)
     sl = jnp.where(sm, sl, 0.0)
 
     delta = jnp.abs(metric.delta_matrix(ss, sl, sm, nvalid))  # [C, D, D]
@@ -135,9 +129,7 @@ def _lambda_block(scores, labels, slot_mask, nvalid, metric):
     lam_rank = jnp.sum(m, axis=-1) - jnp.sum(m, axis=-2)
     w_rank = jnp.sum(mw, axis=-1) + jnp.sum(mw, axis=-2)
 
-    ranks = core.inverse_permutation(order)
-    lam = jnp.take_along_axis(lam_rank, ranks, axis=-1)
-    w = jnp.take_along_axis(w_rank, ranks, axis=-1)
+    lam, w = core.unsort_to_slots(order, lam_rank, w_rank)
     return (
         jnp.where(slot_mask, lam, 0.0).astype(jnp.float32),
         jnp.where(slot_mask, w, 0.0).astype(jnp.float32),

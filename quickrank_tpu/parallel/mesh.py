@@ -77,6 +77,7 @@ def step_data_specs(sd, axis: str = DATA_AXIS, feat_axis: Optional[str] = None):
     return sd.replace(
         binned=P(axis, feat_axis),
         labels=P(axis),
+        labels2d=P(axis, None),
         doc_mask=P(axis),
         pad_index=P(axis, None),
         inv_q=P(axis),

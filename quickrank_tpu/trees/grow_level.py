@@ -28,6 +28,29 @@ from quickrank_tpu.trees.structs import Tree
 NEG_INF = float("-inf")
 
 
+def _route_bits(binned, f_sel, t_star, pos, n_nodes):
+    """Per-doc routing bit ``binned[n, f_sel[pos[n]]] > t_star[pos[n]]``.
+
+    Two exact contractions instead of elementwise gathers over the doc axis
+    (which the TPU serializes ~50x slower): a bf16 one-hot matmul picks each
+    node's split-feature column on the MXU (bin ids <= 255 are exact in
+    bf16), and a [N, nodes] one-hot select picks each doc's own node's
+    value and threshold."""
+    F = binned.shape[1]
+    sel = (f_sel[None, :] == jnp.arange(F)[:, None]).astype(jnp.bfloat16)
+    fcols = jax.lax.dot_general(
+        binned.astype(jnp.bfloat16), sel,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, nodes]
+    own = pos[:, None] == jnp.arange(n_nodes)[None, :]
+    val = jnp.sum(jnp.where(own, fcols, 0.0), axis=1)
+    thr = jnp.sum(
+        jnp.where(own, t_star[None, :].astype(jnp.float32), 0.0), axis=1
+    )
+    return val > thr
+
+
 def fit_tree_levelwise(
     binned: jnp.ndarray,
     grad: jnp.ndarray,
@@ -98,13 +121,9 @@ def fit_tree_levelwise(
             can = has_valid & (best > 0)
             thr_val = thresholds[f_star, t_star]
             # per-doc routing bit for its OWN node's split
-            fcols = jnp.take(binned, f_star, axis=1)  # [N, nodes]
-            bit = (
-                jnp.take_along_axis(
-                    fcols, pos[:, None].astype(jnp.int32), axis=1
-                )[:, 0]
-                > t_star[pos]
-            ).astype(jnp.int32)
+            bit = _route_bits(binned, f_star, t_star, pos, n_nodes).astype(
+                jnp.int32
+            )
         else:
             shard = jax.lax.axis_index(feat_axis)
             cand = jnp.stack(
@@ -123,11 +142,7 @@ def fit_tree_levelwise(
             t_star = sel[:, 2].astype(jnp.int32)
             owns = (f_star // F) == shard
             fl = jnp.where(owns, f_star % F, 0)
-            fcols = jnp.take(binned, fl, axis=1)  # [N, nodes] local columns
-            my_bit = (
-                jnp.take_along_axis(fcols, pos[:, None], axis=1)[:, 0]
-                > t_star[pos]
-            )
+            my_bit = _route_bits(binned, fl, t_star, pos, n_nodes)
             my_owns = owns[pos]
             bit = jax.lax.psum(
                 (my_bit & my_owns).astype(jnp.int32), feat_axis
