@@ -300,6 +300,70 @@ def gather_unpad(padded_vals, inv_q, inv_slot, doc_mask):
     return jnp.where(mask, out, 0).astype(padded_vals.dtype)
 
 
+def build_scatter_keys(padded: PaddedDataset) -> np.ndarray:
+    """Static sort keys turning flat per-doc arrays into padded [Q, D] views.
+
+    Row i of the flat layout carries slot ``inv_q[i] * D + inv_slot[i]``;
+    flat pad rows and (when the slot space is larger than the flat space)
+    appended filler rows are keyed with the UNUSED slot ids so the keys
+    below ``Q*D`` form an exact permutation of the slot space.  Surplus rows
+    get overflow keys >= Q*D and are sliced away after the sort.  Shape
+    ``[S * M_loc]`` with ``M_loc = max(docs_per_shard, Q_loc * D)`` — each
+    shard's block is self-contained, so :func:`scatter_padded` works
+    unchanged inside ``shard_map``.
+
+    Rationale: ``flat[pad_index]`` is a doc-axis gather that the TPU
+    serializes (~33 ms at MSLR scale); a one-key ``lax.sort`` applies the
+    same (static) permutation in ~11 ms (see gather_padded's note).
+    """
+    S = padded.num_shards
+    n_loc = padded.docs_per_shard
+    q_loc = padded.queries_per_shard
+    D = padded.max_docs
+    QD = q_loc * D
+    M = max(n_loc, QD)
+    inv_q = np.asarray(padded.inv_q).reshape(S, n_loc)
+    inv_slot = np.asarray(padded.inv_slot).reshape(S, n_loc)
+    doc_mask = np.asarray(padded.doc_mask).reshape(S, n_loc)
+    out = np.empty((S, M), np.int32)
+    for s in range(S):
+        real = doc_mask[s]
+        used = inv_q[s][real].astype(np.int64) * D + inv_slot[s][real]
+        unused = np.setdiff1d(np.arange(QD, dtype=np.int64), used)
+        fill = np.concatenate(
+            [unused, QD + np.arange(M - len(unused), dtype=np.int64)]
+        )
+        keys = np.empty(M, np.int64)
+        kf = keys[:n_loc]
+        kf[real] = used
+        n_pad_flat = int((~real).sum())
+        kf[~real] = fill[:n_pad_flat]
+        keys[:n_loc] = kf
+        keys[n_loc:] = fill[n_pad_flat : n_pad_flat + (M - n_loc)]
+        out[s] = keys.astype(np.int32)
+    return out.reshape(S * M)
+
+
+def scatter_padded(
+    flat: jnp.ndarray,
+    scatter_key: jnp.ndarray,
+    slot_shape: tuple,
+    doc_mask: Optional[jnp.ndarray] = None,
+):
+    """Flat per-doc array -> padded ``[Q, D]`` view via one ``lax.sort`` on
+    the precomputed :func:`build_scatter_keys` permutation — bitwise equal
+    to ``gather_padded(flat, pad_index, slot_mask)`` (pad slots 0) but ~3x
+    faster on TPU.  Pass ``doc_mask`` so flat pad rows land as zeros."""
+    Q, D = slot_shape
+    QD = Q * D
+    M = scatter_key.shape[0]
+    v = flat if doc_mask is None else jnp.where(doc_mask, flat, 0)
+    if M > v.shape[0]:
+        v = jnp.concatenate([v, jnp.zeros((M - v.shape[0],), v.dtype)])
+    _, out = jax.lax.sort((scatter_key, v), num_keys=1, is_stable=False)
+    return out[:QD].reshape(Q, D)
+
+
 def gather_padded(flat: jnp.ndarray, pad_index: jnp.ndarray, slot_mask: jnp.ndarray, fill=0.0):
     """Flat per-doc array -> padded ``[Q, D]`` per-query view (shard-local).
 

@@ -46,7 +46,9 @@ except ImportError:  # pragma: no cover
 from quickrank_tpu.data.dataset import (
     Dataset,
     PaddedDataset,
+    build_scatter_keys,
     gather_padded,
+    scatter_padded,
     shard_and_pad,
 )
 from quickrank_tpu.learning.base import LTRAlgorithm
@@ -84,6 +86,8 @@ class StepData:
     query_mask: jnp.ndarray  # bool [Q]
     nvalid: jnp.ndarray  # i32 [Q]
     thresholds: jnp.ndarray  # f32 [F, B] (replicated)
+    scatter_key: jnp.ndarray  # i32 [max(N, Q*D)] — static sort keys for the
+    #   flat -> [Q, D] scatter (data/dataset.py::build_scatter_keys)
 
 
 def eval_metric(metric: Metric, sd: StepData, scores, axis_name=None,
@@ -169,6 +173,7 @@ class TrainData:
             query_mask=padded.query_mask,
             nvalid=padded.nvalid,
             thresholds=jnp.asarray(thresholds),
+            scatter_key=jnp.asarray(build_scatter_keys(padded)),
         )
         return TrainData(padded=padded, step=sd, num_real_docs=ds.num_docs)
 
@@ -369,7 +374,9 @@ class Mart(LTRAlgorithm):
         s_tr = kahan_add(scores_tr[0], scores_tr[1], inc_tr)
         s2_tr = kahan_add(
             scores_tr[2], scores_tr[3],
-            gather_padded(inc_tr, tr.pad_index, tr.slot_mask),
+            scatter_padded(
+                inc_tr, tr.scatter_key, tr.slot_mask.shape, tr.doc_mask
+            ),
         )
         m_tr = eval_metric(metric, tr, s_tr[0], axis_name, scores2d=s2_tr[0])
         if va is None:
@@ -379,7 +386,9 @@ class Mart(LTRAlgorithm):
         s_va = kahan_add(scores_va[0], scores_va[1], inc_va)
         s2_va = kahan_add(
             scores_va[2], scores_va[3],
-            gather_padded(inc_va, va.pad_index, va.slot_mask),
+            scatter_padded(
+                inc_va, va.scatter_key, va.slot_mask.shape, va.doc_mask
+            ),
         )
         m_va = eval_metric(metric, va, s_va[0], axis_name, scores2d=s2_va[0])
         return ens2, s_tr + s2_tr, s_va + s2_va, m_tr, m_va

@@ -86,6 +86,7 @@ def step_data_specs(sd, axis: str = DATA_AXIS, feat_axis: Optional[str] = None):
         query_mask=P(axis),
         nvalid=P(axis),
         thresholds=P(feat_axis, None),
+        scatter_key=P(axis),
     )
 
 

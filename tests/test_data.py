@@ -109,6 +109,38 @@ def test_gather_scatter_inverse():
     np.testing.assert_allclose(np.asarray(back), np.asarray(flat), rtol=1e-6)
 
 
+@pytest.mark.parametrize("num_shards", [1, 2, 4])
+def test_scatter_padded_matches_gather(num_shards):
+    """The sort-based flat->view scatter (build_scatter_keys + lax.sort)
+    must be bitwise equal to the index gather it replaces on the training
+    hot path (mart.py _step_body), per shard block."""
+    from quickrank_tpu.data.dataset import build_scatter_keys, scatter_padded
+
+    ds = make_ranking_dataset(num_queries=13, avg_docs_per_query=17, num_features=4)
+    padded = shard_and_pad(ds, num_shards=num_shards)
+    keys = build_scatter_keys(padded)
+    S = padded.num_shards
+    n_loc = padded.docs_per_shard
+    q_loc = padded.queries_per_shard
+    M = keys.shape[0] // S
+    flat = jnp.asarray(
+        np.random.default_rng(1)
+        .normal(size=(padded.num_docs_padded,))
+        .astype(np.float32)
+    )
+    for s in range(S):
+        f = flat[s * n_loc : (s + 1) * n_loc]
+        k = jnp.asarray(keys[s * M : (s + 1) * M])
+        dm = padded.doc_mask[s * n_loc : (s + 1) * n_loc]
+        got = scatter_padded(f, k, (q_loc, padded.max_docs), dm)
+        ref = gather_padded(
+            f,
+            padded.pad_index[s * q_loc : (s + 1) * q_loc],
+            padded.slot_mask[s * q_loc : (s + 1) * q_loc],
+        )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_native_svml_parser_matches_numpy(tmp_path, splits):
     """The C++ parser (native/svml_parser.cc) must agree exactly with the
     numpy reference parser."""
