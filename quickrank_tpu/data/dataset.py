@@ -194,7 +194,7 @@ def shard_and_pad(
     ds: Dataset,
     num_shards: int = 1,
     max_docs: Optional[int] = None,
-    doc_align: int = 8,
+    doc_align: int = 1024,
     features_on_device: bool = True,
 ) -> PaddedDataset:
     """Lay the host dataset out in the static sharded format above.
@@ -202,6 +202,11 @@ def shard_and_pad(
     ``features_on_device=False`` keeps the (large) feature matrix as a host
     numpy array — tree training reads only the binned tensor, and skipping
     the f32 transfer matters when the accelerator sits behind a slow link.
+
+    ``doc_align`` defaults to the histogram kernel's doc tile (1024,
+    ops/pallas_histogram.py) so flat device arrays never need a per-call
+    N-axis pad inside the training step (~4 ms per histogram pass at MSLR
+    scale otherwise); the cost is <=1023 zero rows per shard.
     """
     counts = ds.docs_per_query()
     if len(counts) < num_shards:

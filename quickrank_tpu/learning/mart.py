@@ -135,19 +135,23 @@ class TrainData:
         else:
             thresholds = np.asarray(thresholds)
         binned = apply_bins(np.asarray(padded.features), thresholds)
-        if num_feat_shards > 1:
-            # pad the feature axis to an even per-shard block; pad features
-            # bin every doc to 0 and carry +inf thresholds, so any split on
-            # them sends everything left (rcount=0 -> never chosen)
-            F = binned.shape[1]
-            Fp = ((F + num_feat_shards - 1) // num_feat_shards) * num_feat_shards
-            if Fp != F:
-                binned = np.pad(binned, ((0, 0), (0, Fp - F)))
-                thresholds = np.pad(
-                    thresholds,
-                    ((0, Fp - F), (0, 0)),
-                    constant_values=np.float32(3.4028235e38),
-                )
+        # Pad the feature axis so each (per-shard) block is a multiple of
+        # the histogram kernel's feature group (16) — otherwise every
+        # histogram call pads the multi-hundred-MB binned tensor on device
+        # (~4 ms x 4 passes/iteration at MSLR scale).  Pad features bin
+        # every doc to 0 and carry +inf thresholds, so any split on them
+        # sends everything left (rcount=0 -> never chosen).
+        F = binned.shape[1]
+        k = num_feat_shards
+        f_blk = ((F + k - 1) // k + 15) // 16 * 16
+        Fp = f_blk * k
+        if Fp != F:
+            binned = np.pad(binned, ((0, 0), (0, Fp - F)))
+            thresholds = np.pad(
+                thresholds,
+                ((0, Fp - F), (0, 0)),
+                constant_values=np.float32(3.4028235e38),
+            )
         B = thresholds.shape[1]
         if B <= 256:
             wire = binned.astype(np.uint8)
@@ -279,18 +283,24 @@ class Mart(LTRAlgorithm):
     def _level_depth(self) -> int:
         return self.max_depth or max(1, (self.nleaves - 1).bit_length())
 
-    def _fit_and_assign(self, tr: StepData, grad, smask, cfg, key, axis_name):
-        """Fit one tree; returns (Tree without leaf values, node_of_doc)."""
+    def _fit_and_assign(
+        self, tr: StepData, grad, smask, cfg, key, axis_name, weights=None
+    ):
+        """Fit one tree; returns (tree, node_of_doc, leaves_done).  The
+        level-wise grower fills leaf values itself (from its level
+        histograms); best-first leaves them for :func:`leaf_outputs`."""
         if self.growth == "level":
             from quickrank_tpu.trees.grow_level import fit_tree_levelwise
 
-            return fit_tree_levelwise(
+            tree, node = fit_tree_levelwise(
                 tr.binned, grad, smask, tr.thresholds, self._level_depth(),
-                cfg, key=key, axis_name=axis_name,
+                cfg, key=key, axis_name=axis_name, weights=weights,
             )
-        return fit_tree(
+            return tree, node, True
+        tree, node = fit_tree(
             tr.binned, grad, smask, tr.thresholds, cfg, key=key, axis_name=axis_name
         )
+        return tree, node, False
 
     # -- sampling ------------------------------------------------------------
 
@@ -318,6 +328,7 @@ class Mart(LTRAlgorithm):
         scores_tr,
         scores_va,
         key,
+        m,
         presence,
         tr: StepData,
         va: Optional[StepData],
@@ -327,6 +338,9 @@ class Mart(LTRAlgorithm):
     ):
         md = self._descend_depth()
         shrinkage = self._tree_weight()
+        # per-iteration key derived INSIDE the step: the eager host-side
+        # fold_in was a separate ~6 ms device dispatch every iteration
+        key = jax.random.fold_in(key, m)
         k1, k2, k3 = jax.random.split(key, 3)
         if axis_name is not None:
             # Per-shard doc subsampling; split decisions stay replicated
@@ -344,15 +358,19 @@ class Mart(LTRAlgorithm):
             tr, scores_tr[0], smask, k2,
             scores2d=scores_tr[2], full_mask=full_presence,
         )
-        tree, node = self._fit_and_assign(tr, grad, smask, cfg, k3, axis_name)
-        tree = leaf_outputs(
-            tree,
-            node,
-            grad,
-            smask,
+        tree, node, leaves_done = self._fit_and_assign(
+            tr, grad, smask, cfg, k3, axis_name,
             weights=w if self._newton else None,
-            axis_name=axis_name,
         )
+        if not leaves_done:
+            tree = leaf_outputs(
+                tree,
+                node,
+                grad,
+                smask,
+                weights=w if self._newton else None,
+                axis_name=axis_name,
+            )
         ens2 = ens.push(tree, shrinkage)
         # every doc is routed during the fit, so the train update is a pure
         # leaf-value gather — no descent pass (and it stays correct under
@@ -409,25 +427,25 @@ class Mart(LTRAlgorithm):
             # would otherwise embed + constant-fold the multi-MB arrays at
             # compile time (slow) and duplicate them in the executable.
             if va_sd is not None:
-                def step_args(ens, s_tr, s_va, key, presence, tr_sd, va_sd_):
+                def step_args(ens, s_tr, s_va, key, m, presence, tr_sd, va_sd_):
                     return self._step_body(
-                        ens, s_tr, s_va, key, presence, tr_sd, va_sd_, metric,
-                        cfg, None,
+                        ens, s_tr, s_va, key, m, presence, tr_sd, va_sd_,
+                        metric, cfg, None,
                     )
 
                 jitted = jax.jit(step_args, donate_argnums=(0, 1, 2))
-                return lambda e, s, v, k, p: jitted(
-                    e, s, v, k, p, tr.step, va.step
+                return lambda e, s, v, k, m, p: jitted(
+                    e, s, v, k, m, p, tr.step, va.step
                 )
 
-            def step_args(ens, s_tr, s_va, key, presence, tr_sd):
+            def step_args(ens, s_tr, s_va, key, m, presence, tr_sd):
                 return self._step_body(
-                    ens, s_tr, s_va, key, presence, tr_sd, None, metric,
+                    ens, s_tr, s_va, key, m, presence, tr_sd, None, metric,
                     cfg, None,
                 )
 
             jitted = jax.jit(step_args, donate_argnums=(0, 1, 2))
-            return lambda e, s, v, k, p: jitted(e, s, v, k, p, tr.step)
+            return lambda e, s, v, k, m, p: jitted(e, s, v, k, m, p, tr.step)
 
         axis = mesh.axis_names[0]
         feat_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
@@ -440,9 +458,10 @@ class Mart(LTRAlgorithm):
         rep = P()
         ens_specs = jax.tree.map(lambda _: rep, EnsembleTensors.empty(1, 1))
 
-        def sharded(ens, s_tr, s_va, key, presence, tr_sd, va_sd_):
+        def sharded(ens, s_tr, s_va, key, m, presence, tr_sd, va_sd_):
             return self._step_body(
-                ens, s_tr, s_va, key, presence, tr_sd, va_sd_, metric, cfg, axis
+                ens, s_tr, s_va, key, m, presence, tr_sd, va_sd_, metric,
+                cfg, axis,
             )
 
         # training/valid scores are (sum, comp, sum2d, comp2d) — flat Kahan
@@ -458,6 +477,7 @@ class Mart(LTRAlgorithm):
             ens_specs,
             sc_tr,
             sc_va,
+            rep,
             rep,
             P(axis),
         )
@@ -486,10 +506,12 @@ class Mart(LTRAlgorithm):
             )
 
         @jax.jit
-        def step(ens, s_tr, s_va, key, presence):
+        def step(ens, s_tr, s_va, key, m, presence):
             if va_sd is not None:
-                return mapped(ens, s_tr, s_va, key, presence, tr.step, va_sd)
-            return mapped(ens, s_tr, s_va, key, presence, tr.step)
+                return mapped(
+                    ens, s_tr, s_va, key, m, presence, tr.step, va_sd
+                )
+            return mapped(ens, s_tr, s_va, key, m, presence, tr.step)
 
         return step
 
@@ -614,14 +636,22 @@ class Mart(LTRAlgorithm):
             print("# iter. training validation")
         t_train = time.time()
         presence = tr.step.doc_mask
+        # presence hooks (selective/stochastic sampling) run host-side and
+        # need the iteration key eagerly; plain Mart derives it in-step
+        uses_presence = (
+            type(self)._update_presence is not Mart._update_presence
+        )
         for m in range(start_iter, self.ntrees):
             t_iter = time.time()
-            key = jax.random.fold_in(root_key, m)
-            new_presence = self._update_presence(m, tr, scores_tr[0], key)
-            if new_presence is not None:
-                presence = new_presence
+            if uses_presence:
+                key = jax.random.fold_in(root_key, m)
+                new_presence = self._update_presence(
+                    m, tr, scores_tr[0], key
+                )
+                if new_presence is not None:
+                    presence = new_presence
             ens, scores_tr, scores_va, m_tr, m_va = step(
-                ens, scores_tr, scores_va, key, presence
+                ens, scores_tr, scores_va, root_key, np.int32(m), presence
             )
             m_tr = float(m_tr)
             m_va = float(m_va)

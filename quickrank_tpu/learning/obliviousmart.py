@@ -50,7 +50,9 @@ class _ObliviousFit:
         kw["treedepth"] = cls._info_get(info, "depth", int, 4)
         return kw
 
-    def _fit_and_assign(self, tr: StepData, grad, smask, cfg, key, axis_name):
+    def _fit_and_assign(
+        self, tr: StepData, grad, smask, cfg, key, axis_name, weights=None
+    ):
         fid, thr, tbin, leafidx = fit_oblivious_tree(
             tr.binned,
             grad,
@@ -67,7 +69,7 @@ class _ObliviousFit:
         # [0, L-1), leaves are (L-1) + leafidx.  Every doc is routed; the
         # sample mask only gates statistics.
         node = ((L - 1) + leafidx).astype(jnp.int32)
-        return tree, node
+        return tree, node, False
 
     # -- fast inference ------------------------------------------------------
 

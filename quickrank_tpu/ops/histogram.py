@@ -90,38 +90,40 @@ def node_histograms(
     doc_mask: jnp.ndarray,
     num_nodes: int,
     num_bins: int,
+    values_premasked: bool = False,
 ) -> jnp.ndarray:
     """Histograms for every node at once: ``[num_nodes, F, B, C]``.
 
     The batched equivalent of building an RTNodeHistogram per fringe node
     (rtnode_histogram.cc:41-70).  Docs with node id outside [0, num_nodes)
-    or masked out contribute nothing.  On TPU this runs the MXU kernel once
-    per node (a static sweep); elsewhere one flat scatter-add.
+    or masked out contribute nothing.  On TPU the MXU kernel packs several
+    nodes' channels per pass and selects node membership IN the kernel
+    (ops/pallas_histogram.py::node_histogram_pallas); elsewhere one flat
+    scatter-add.  Pass ``values_premasked=True`` when value rows of docs
+    outside ``doc_mask`` are already zero — it skips an [N, C] select that
+    otherwise round-trips HBM.
     """
     if _on_tpu():
-        from quickrank_tpu.ops.pallas_histogram import histogram_pallas
+        from quickrank_tpu.ops.pallas_histogram import node_histogram_pallas
 
         N, F = binned.shape
         C = values.shape[-1]
-        # pack several nodes' channel triples into one kernel pass (the
+        if not values_premasked:
+            values = jnp.where(doc_mask[:, None], values, 0.0)
+        # channel-major for the kernel: a doc-major [N, small-C] f32 array
+        # is 128-lane padded on device (see _node_kernel docstring); the
+        # transpose fuses into the kernel operand build
+        vt = values.T
+        # pack several nodes' channel groups into one kernel pass (the
         # channel axis is the matmul M dimension, so packing raises MXU
         # occupancy and turns per-level growth into ~1 pass per level)
         per_pass = max(1, 32 // C)
         outs = []
         for n0 in range(0, num_nodes, per_pass):
             k = min(per_pass, num_nodes - n0)
-            packed = jnp.concatenate(
-                [
-                    jnp.where(
-                        (doc_mask & (node_of_doc == (n0 + i)))[:, None],
-                        values,
-                        0.0,
-                    )
-                    for i in range(k)
-                ],
-                axis=1,
-            )  # [N, k*C]
-            h = histogram_pallas(binned, packed, num_bins)  # [F, B, k*C]
+            h = node_histogram_pallas(
+                binned, vt, node_of_doc, num_bins, n0, k
+            )  # [F, B, k*C]
             outs.append(
                 jnp.moveaxis(h.reshape(F, h.shape[1], k, C), 2, 0)
             )

@@ -67,6 +67,117 @@ def _kernel(binned_ref, chan_ref, out_ref, *, F, Bp, G, tile_n):
         out_ref[:, g0 * Bp : g0 * Bp + G * Bp] += part[:ch] + part[ch:]
 
 
+def _node_kernel(
+    binned_ref, vals_ref, out_ref, *, F, Bp, G, tile_n, n0, k, C
+):
+    """Per-node packed histogram: node selection happens IN the kernel.
+
+    ``vals`` is TRANSPOSED [C+1, N]: rows 0..C-1 are the (pre-masked)
+    channel values, row C is each doc's node id as f32.  The transposed
+    layout keeps docs on the lane axis — the physical array is exact (a
+    doc-major [N, small-C] f32 array is 128-lane padded by T(8,128) tiling,
+    and a separate [N, 1] node operand poisons every downstream [N] op
+    with that padded layout: a measured 0.2 s/iteration regression).  It
+    is also the matmul-native orientation: the contraction runs directly
+    as planes[ch, TILE] @ onehot[TILE, G*B] with no in-kernel transpose.
+    Packing in VMEM avoids the [N, k*C] HBM round-trip (select + concat +
+    layout copy + pad, ~25 ms/iteration at MSLR scale) host-side packing
+    paid."""
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    v = vals_ref[:C, :]  # [C, TILE] f32, pre-masked
+    p = vals_ref[C : C + 1, :]  # [1, TILE] node ids (exact f32)
+    blocks = [
+        v * (p == jnp.float32(n0 + i)).astype(jnp.float32) for i in range(k)
+    ]  # node-major channel blocks
+    ch_pad = out_ref.shape[0]
+    if ch_pad > k * C:
+        blocks.append(jnp.zeros((ch_pad - k * C, tile_n), jnp.float32))
+    packed = jnp.concatenate(blocks, axis=0)  # [ch_pad, TILE]
+    hi32 = packed.astype(jnp.bfloat16).astype(jnp.float32)
+    hi = hi32.astype(jnp.bfloat16)
+    lo = (packed - hi32).astype(jnp.bfloat16)
+    planes = jnp.concatenate([hi, lo], axis=0)  # [2*ch_pad, TILE]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, G * Bp), 1)
+    bin_of_col = col // G
+    for g0 in range(0, F, G):
+        chunk = binned_ref[:, g0 : g0 + G].astype(jnp.int32)
+        rep = pltpu.repeat(chunk, Bp, axis=1)
+        oh = (rep == bin_of_col).astype(jnp.bfloat16)
+        part = jax.lax.dot_general(
+            planes, oh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [2*ch_pad, G*Bp]
+        out_ref[:, g0 * Bp : g0 * Bp + G * Bp] += (
+            part[:ch_pad] + part[ch_pad:]
+        )
+
+
+@partial(
+    jax.jit, static_argnames=("num_bins", "n0", "k", "tile_n", "feat_group")
+)
+def node_histogram_pallas(
+    binned: jnp.ndarray,
+    values_t: jnp.ndarray,
+    pos: jnp.ndarray,
+    num_bins: int,
+    n0: int,
+    k: int,
+    tile_n: int = 1024,
+    feat_group: int = 16,
+) -> jnp.ndarray:
+    """hist[f, b, i*C + c] = sum_{n: pos[n] == n0+i} values_t[c, n]
+    [binned[n, f] == b]  ->  [F, B, k*C].
+
+    ``values_t`` is channel-major [C, N] and must already be masked (zero
+    columns for docs outside the doc mask).  Keep inputs doc-tile aligned
+    (N % tile_n == 0 — see shard_and_pad's doc_align) for pad-free calls."""
+    N, F = binned.shape
+    C = values_t.shape[0]
+    ch = k * C
+    ch_pad = _round_up(max(ch, CH_PAD), 8)
+    G = feat_group
+    Bp = _round_up(num_bins, LANES)
+    n_pad = _round_up(max(N, tile_n), tile_n)
+    Fp = _round_up(F, G)
+    # fold the node ids in as one more f32 channel row (ids < 2^24 exact);
+    # fused into the same [C+1, N] operand write
+    vals = jnp.concatenate(
+        [values_t.astype(jnp.float32), pos.astype(jnp.float32)[None, :]],
+        axis=0,
+    )
+    if n_pad != N:
+        binned = jnp.pad(binned, ((0, n_pad - N), (0, 0)))
+        # pad docs select node n0 but carry zero channel values — harmless
+        vals = jnp.pad(vals, ((0, 0), (0, n_pad - N)))
+    if Fp != F:
+        binned = jnp.pad(binned, ((0, 0), (0, Fp - F)))
+
+    out = pl.pallas_call(
+        partial(
+            _node_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n, n0=n0, k=k, C=C
+        ),
+        out_shape=jax.ShapeDtypeStruct((ch_pad, Fp * Bp), jnp.float32),
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, Fp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C + 1, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ch_pad, Fp * Bp), lambda i: (0, 0), memory_space=pltpu.VMEM
+        ),
+    )(binned, vals)
+    hist = out[:ch].reshape(ch, Fp // G, Bp, G)
+    hist = jnp.swapaxes(hist, 2, 3).reshape(ch, Fp, Bp)[:, :F, :num_bins]
+    return jnp.moveaxis(hist, 0, -1)
+
+
 @partial(jax.jit, static_argnames=("num_bins", "tile_n", "feat_group"))
 def histogram_pallas(
     binned: jnp.ndarray,

@@ -12,6 +12,17 @@ best-first only (rt.cc:49-90) — and produces depth-capped trees that
 automatically use the perfect-tree scoring kernel.
 
 Gain/minls/routing semantics are identical to the best-first grower.
+
+Leaf values are computed FROM the level histograms rather than by a
+separate per-leaf aggregation pass (leaf_outputs -> segment_sums): a split
+node's left-child sums are exactly the cumulative histogram entries at its
+chosen (feature, bin) — the docs with bin <= threshold_bin — and the right
+child is total - left; a node that stops splitting keeps its own totals.
+This drops one histogram kernel dispatch (+ a 174 MB one-column pad) and
+one psum per boosting iteration.  The Newton denominator (sum of lambda
+weights, rt.cc:186-207) rides along as an extra histogram channel in place
+of the squared-gradient channel, which only the best-first deviance
+priority needs.
 """
 
 from __future__ import annotations
@@ -21,11 +32,13 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from quickrank_tpu.ops.histogram import doc_channels, node_histograms
+from quickrank_tpu.ops.histogram import node_histograms
 from quickrank_tpu.trees.grow import GrowConfig, _feature_sample_mask
 from quickrank_tpu.trees.structs import Tree
 
 NEG_INF = float("-inf")
+# DBL_EPSILON guard of rt.cc:200 (same as trees/grow.py::leaf_outputs)
+_EPS = 2.220446049250313e-16
 
 
 def _route_bits(binned, f_sel, t_star, pos, n_nodes):
@@ -60,11 +73,14 @@ def fit_tree_levelwise(
     cfg: GrowConfig,
     key: Optional[jnp.ndarray] = None,
     axis_name: Optional[str] = None,
+    weights: Optional[jnp.ndarray] = None,
 ) -> tuple[Tree, jnp.ndarray]:
     """Grow a depth-``depth`` tree breadth-first (heap node layout: node i
     has children 2i+1/2i+2; leaves occupy [2^depth - 1, 2^(depth+1) - 1)).
 
-    Returns (Tree without leaf values, node_of_doc over ALL docs).
+    Returns (Tree WITH leaf values, node_of_doc over ALL docs).  Leaf
+    values are mean pseudoresponse, or the Newton step sum(lambda)/sum(w)
+    when ``weights`` is given (must be when ``cfg.newton``).
     """
     N, F = binned.shape
     B = cfg.num_bins
@@ -75,17 +91,27 @@ def fit_tree_levelwise(
     if key is None:
         key = jax.random.PRNGKey(0)
 
-    chan = doc_channels(grad, doc_mask)
+    newton = weights is not None
+    m = doc_mask.astype(grad.dtype)
+    cols = [m, grad * m]
+    if newton:
+        cols.append(weights * m)
+    chan = jnp.stack(cols, axis=-1)  # count, grad[, newton weight]
+
     tree = Tree.empty(max_nodes)
+    # per-leaf numerator / denominator of the final value
+    leaf_num = jnp.zeros((max_nodes,), jnp.float32)
+    leaf_den = jnp.zeros((max_nodes,), jnp.float32)
     # level-local node index of each doc (0..2^d - 1 at level d)
     pos = jnp.zeros((N,), jnp.int32)
-    # whether each doc's current node is still splittable (alive)
     nfs = cfg.num_feature_samples(F_global)
 
     for d in range(depth):
         n_nodes = 2**d
         base = n_nodes - 1  # heap id of first node at this level
-        hist = node_histograms(binned, chan, pos, doc_mask, n_nodes, B)
+        hist = node_histograms(
+            binned, chan, pos, doc_mask, n_nodes, B, values_premasked=True
+        )
         if axis_name is not None:
             hist = jax.lax.psum(hist, axis_name)
         key, sub = jax.random.split(key)
@@ -96,7 +122,7 @@ def fit_tree_levelwise(
             shard = jax.lax.axis_index(feat_axis)
             feat_mask = jax.lax.dynamic_slice(feat_mask_g, (shard * F,), (F,))
 
-        cum = jnp.cumsum(hist, axis=2)  # [nodes, F, B, 3]
+        cum = jnp.cumsum(hist, axis=2)  # [nodes, F, B, C]
         lc = cum[..., 0]
         ls = cum[..., 1]
         tc = cum[:, :, -1:, 0]
@@ -111,10 +137,31 @@ def fit_tree_levelwise(
         flat = jnp.argmax(gain.reshape(n_nodes, -1), axis=1)  # [nodes]
         f_loc = (flat // B).astype(jnp.int32)
         t_loc = (flat % B).astype(jnp.int32)
-        best = jnp.take_along_axis(
-            gain.reshape(n_nodes, -1), flat[:, None], axis=1
-        )[:, 0]
+
+        def _take(arr):  # arr [nodes, F, B] -> winner entry per node
+            return jnp.take_along_axis(
+                arr.reshape(n_nodes, -1), flat[:, None], axis=1
+            )[:, 0]
+
+        best = _take(gain)
         has_valid = jnp.any(valid.reshape(n_nodes, -1), axis=1)
+        # left-child sums at the winning (feature, bin), and that feature's
+        # totals (same summation order, so left + right == total exactly)
+        l_cnt, l_grad = _take(lc), _take(ls)
+        t_cnt = jnp.take_along_axis(tc[:, :, 0], f_loc[:, None], axis=1)[:, 0]
+        t_grad = jnp.take_along_axis(ts[:, :, 0], f_loc[:, None], axis=1)[:, 0]
+        if newton:
+            lw = cum[..., 2]
+            l_den = _take(lw)
+            t_den = jnp.take_along_axis(
+                cum[:, :, -1, 2], f_loc[:, None], axis=1
+            )[:, 0]
+        else:
+            l_den, t_den = l_cnt, t_cnt
+        # node totals for nodes that stop here (any feature column sums the
+        # same docs; use column 0 — under feature sharding, shard 0's)
+        stop_num = cum[:, 0, -1, 1]
+        stop_den = cum[:, 0, -1, 2] if newton else cum[:, 0, -1, 0]
 
         if feat_axis is None:
             f_star, t_star = f_loc, t_loc
@@ -150,6 +197,17 @@ def fit_tree_levelwise(
             thr_val = jax.lax.psum(
                 jnp.where(owns, thresholds[fl, t_star], 0.0), feat_axis
             )
+            # leaf statistics must be identical on every feature shard to
+            # keep trees replicated: route the owner's values (the global
+            # winner is the owner's local candidate) through one psum
+            def _owner(x):
+                return jax.lax.psum(jnp.where(owns, x, 0.0), feat_axis)
+
+            l_grad, l_den = _owner(l_grad), _owner(l_den)
+            t_grad, t_den = _owner(t_grad), _owner(t_den)
+            first = (shard == 0).astype(jnp.float32)
+            stop_num = jax.lax.psum(stop_num * first, feat_axis)
+            stop_den = jax.lax.psum(stop_den * first, feat_axis)
 
         # write this level's internal nodes
         ids = base + jnp.arange(n_nodes)
@@ -165,10 +223,35 @@ def fit_tree_levelwise(
             right=tree.right.at[ids].set(jnp.where(can, 2 * ids + 2, 0)),
             is_leaf=tree.is_leaf.at[ids].set(~can),
         )
+        # nodes that stop here are leaves: value from their own totals
+        leaf_num = leaf_num.at[ids].set(jnp.where(can, 0.0, stop_num))
+        leaf_den = leaf_den.at[ids].set(jnp.where(can, 0.0, stop_den))
+        if d == depth - 1:
+            # final level: children of split nodes are leaves
+            leaf_num = leaf_num.at[2 * ids + 1].set(
+                jnp.where(can, l_grad, 0.0)
+            )
+            leaf_den = leaf_den.at[2 * ids + 1].set(
+                jnp.where(can, l_den, 0.0)
+            )
+            leaf_num = leaf_num.at[2 * ids + 2].set(
+                jnp.where(can, t_grad - l_grad, 0.0)
+            )
+            leaf_den = leaf_den.at[2 * ids + 2].set(
+                jnp.where(can, t_den - l_den, 0.0)
+            )
         # docs in un-split nodes keep routing left (bit forced 0) so their
         # leaf-range collapse matches the perfect-tree embedding convention
         bit = jnp.where(can[pos], bit, 0)
         pos = 2 * pos + bit
+
+    eps = jnp.float32(_EPS)
+    value = jnp.where(
+        leaf_den >= eps, leaf_num / jnp.maximum(leaf_den, eps), 0.0
+    )
+    tree = tree.replace(
+        leaf_value=jnp.where(tree.is_leaf, value, 0.0)
+    )
 
     # Final doc node id: replay each doc's recorded path bits over the tree
     # arrays, stopping at the first ancestor that stayed a leaf.  No feature

@@ -113,7 +113,10 @@ def fit_oblivious_tree(
 
     for d in range(depth):
         n_nodes = 2**d
-        hist = node_histograms(binned, chan, node, doc_mask, n_nodes, B)
+        # chan comes from doc_channels (mask already baked into the rows)
+        hist = node_histograms(
+            binned, chan, node, doc_mask, n_nodes, B, values_premasked=True
+        )
         if axis_name is not None:
             hist = jax.lax.psum(hist, axis_name)
         cum = jnp.cumsum(hist, axis=2)  # [nodes, F, B, 3]

@@ -309,3 +309,35 @@ def test_levelwise_growth(small_problem):
     assert int(tree.threshold_bin[0]) == int(tree_bf.threshold_bin[0])
     via = np.asarray(descend_tree_binned(jnp.asarray(b.binned), tree, 5))
     np.testing.assert_array_equal(np.asarray(node), via)
+
+
+@pytest.mark.parametrize("newton", [False, True])
+def test_levelwise_leaf_values_match_leaf_outputs(small_problem, newton):
+    """The level-wise grower's histogram-derived leaf values (left = cum at
+    the chosen split, right = total - left, stopped node = own totals) must
+    agree with the per-leaf aggregation pass they replace."""
+    from quickrank_tpu.trees.grow import leaf_outputs
+    from quickrank_tpu.trees.grow_level import fit_tree_levelwise
+
+    X, y = small_problem
+    rng = np.random.default_rng(7)
+    w = rng.uniform(0.1, 2.0, size=y.shape).astype(np.float32) if newton else None
+    mask = jnp.asarray(rng.uniform(size=y.shape) < 0.9)  # exercise masking
+    b = bin_dataset(X, nthresholds=32)
+    cfg = GrowConfig(
+        nleaves=16, min_leaf_support=1, num_bins=b.num_bins, newton=newton
+    )
+    tree, node = fit_tree_levelwise(
+        jnp.asarray(b.binned), jnp.asarray(y), mask,
+        jnp.asarray(b.thresholds), 4, cfg,
+        weights=jnp.asarray(w) if newton else None,
+    )
+    ref = leaf_outputs(
+        tree.replace(leaf_value=jnp.zeros_like(tree.leaf_value)),
+        node, jnp.asarray(y), mask,
+        weights=jnp.asarray(w) if newton else None,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tree.leaf_value), np.asarray(ref.leaf_value),
+        rtol=2e-5, atol=1e-6,
+    )
