@@ -641,6 +641,57 @@ class Mart(LTRAlgorithm):
         uses_presence = (
             type(self)._update_presence is not Mart._update_presence
         )
+        # One-deep dispatch pipeline: reading an iteration's metric scalars
+        # (float()) round-trips the device link, which on a tunneled chip
+        # costs tens of ms — so iteration m+1 is dispatched BEFORE iteration
+        # m's metrics are fetched, overlapping the fetch with device compute.
+        # Early stopping is therefore evaluated one iteration late; when it
+        # fires, the already-dispatched iteration is discarded unconsumed, so
+        # history, best_it, and the rolled-back model are identical to the
+        # serial loop (mart.cc:380-395 keeps only the best prefix anyway).
+        pending = None  # (iter index, device m_tr, device m_va)
+
+        def _consume(ens_now):
+            nonlocal best_va, best_it
+            pm, d_tr, d_va = pending
+            m_tr = float(d_tr)
+            m_va = float(d_va)
+            hist_tr.append(m_tr)
+            hist_va.append(m_va)
+            improved = False
+            if va is not None and m_va > best_va:
+                best_va, best_it, improved = m_va, pm, True
+            elif va is None and m_tr > max(hist_tr[:-1], default=-np.inf):
+                improved = True
+            self._post_iteration(pm, improved)
+            if (
+                partial_save
+                and output_basename
+                and (pm + 1) % partial_save == 0
+            ):
+                # periodic partial model save as <base>.T<iter>.xml
+                # (mart.cc:378-381, suffix logic ltr_algorithm.cc:54-65);
+                # trees are append-only, so slicing the CURRENT buffers to
+                # pm+1 trees reproduces the ensemble as of iteration pm
+                snapshot = self.ensemble
+                self.ensemble = _compact(
+                    ens_now.replace(num_trees=jnp.asarray(pm + 1, jnp.int32))
+                )
+                self.save(f"{output_basename}.T{pm + 1}.xml")
+                self.ensemble = snapshot
+            if verbose and (pm < 5 or (pm + 1) % 10 == 0 or improved):
+                vtxt = f" {m_va:.6f}" if va is not None else ""
+                print(f"# {pm + 1:5d} {m_tr:.6f}{vtxt}{' *' if improved else ''}")
+
+        # Learners whose presence / post-iteration hooks feed the NEXT
+        # iteration (Selective's adaptive factor, StochasticNegative's
+        # resampling) must see each iteration's result before dispatching
+        # the next — no pipelining for them.
+        pipelined = (
+            not uses_presence
+            and type(self)._post_iteration is Mart._post_iteration
+        )
+        stopped_early = False
         for m in range(start_iter, self.ntrees):
             t_iter = time.time()
             if uses_presence:
@@ -653,33 +704,24 @@ class Mart(LTRAlgorithm):
             ens, scores_tr, scores_va, m_tr, m_va = step(
                 ens, scores_tr, scores_va, root_key, np.int32(m), presence
             )
-            m_tr = float(m_tr)
-            m_va = float(m_va)
+            if pending is not None:
+                _consume(ens)
+            pending = (m, m_tr, m_va)
+            if not pipelined:
+                _consume(ens)
+                pending = None
             iter_seconds.append(time.time() - t_iter)
-            hist_tr.append(m_tr)
-            hist_va.append(m_va)
-            improved = False
-            if va is not None and m_va > best_va:
-                best_va, best_it, improved = m_va, m, True
-            elif va is None and m_tr > max(hist_tr[:-1], default=-np.inf):
-                improved = True
-            self._post_iteration(m, improved)
+            last_consumed = m if not pipelined else m - 1
             if (
-                partial_save
-                and output_basename
-                and (m + 1) % partial_save == 0
+                va is not None
+                and self.esr
+                and last_consumed >= start_iter
+                and last_consumed - best_it >= self.esr
             ):
-                # periodic partial model save as <base>.T<iter>.xml
-                # (mart.cc:378-381, suffix logic ltr_algorithm.cc:54-65)
-                snapshot = self.ensemble
-                self.ensemble = _compact(ens)
-                self.save(f"{output_basename}.T{m + 1}.xml")
-                self.ensemble = snapshot
-            if verbose and (m < 5 or (m + 1) % 10 == 0 or improved):
-                vtxt = f" {m_va:.6f}" if va is not None else ""
-                print(f"# {m + 1:5d} {m_tr:.6f}{vtxt}{' *' if improved else ''}")
-            if va is not None and self.esr and m - best_it >= self.esr:
+                stopped_early = True
                 break
+        if pending is not None and not stopped_early:
+            _consume(ens)
 
         if va is not None and best_it >= 0:
             # Rollback to the best model (mart.cc:390-395).
