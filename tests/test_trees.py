@@ -258,6 +258,68 @@ def _hist_interpret(binned, values, num_bins):
     return jnp.moveaxis(hist, 0, -1)
 
 
+def test_node_pallas_histogram_matches_scatter(small_problem):
+    """The packed per-node MXU kernel (node selection in VMEM, channel-major
+    [C+1, N] operand — interpret mode on CPU) must match the scatter-add
+    node_histograms path over every (node, feature, bin, channel) cell."""
+    from functools import partial as _p
+
+    from jax.experimental import pallas as pl
+    from quickrank_tpu.ops import pallas_histogram as ph
+    from quickrank_tpu.ops.histogram import doc_channels, node_histograms_scatter
+
+    X, y = small_problem
+    b = bin_dataset(X, nthresholds=16)
+    N = X.shape[0]
+    rng = np.random.default_rng(5)
+    mask = jnp.asarray(rng.uniform(size=N) < 0.8)
+    node = jnp.asarray(rng.integers(0, 4, size=N).astype(np.int32))
+    chan = doc_channels(jnp.asarray(y), mask)
+    C = chan.shape[-1]
+    num_bins = b.num_bins
+    ref = np.asarray(
+        node_histograms_scatter(
+            jnp.asarray(b.binned), chan, node, mask, 4, num_bins
+        )
+    )
+
+    # replicate node_histogram_pallas's wrapper with interpret=True
+    n0, k, tile_n, G = 0, 4, 128, 4
+    binned = jnp.asarray(b.binned)
+    vt = jnp.where(mask[:, None], chan, 0.0).T
+    F = binned.shape[1]
+    ch_pad = ph._round_up(max(k * C, ph.CH_PAD), 8)
+    Bp = ph._round_up(num_bins, ph.LANES)
+    n_pad = ph._round_up(max(N, tile_n), tile_n)
+    Fp = ph._round_up(F, G)
+    vals = jnp.concatenate(
+        [vt.astype(jnp.float32), node.astype(jnp.float32)[None, :]], axis=0
+    )
+    binned = jnp.pad(binned, ((0, n_pad - N), (0, Fp - F)))
+    vals = jnp.pad(vals, ((0, 0), (0, n_pad - N)))
+    out = pl.pallas_call(
+        _p(ph._node_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n, n0=n0, k=k, C=C),
+        out_shape=jax.ShapeDtypeStruct((ch_pad, Fp * Bp), jnp.float32),
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, Fp), lambda i: (i, 0)),
+            pl.BlockSpec((C + 1, tile_n), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((ch_pad, Fp * Bp), lambda i: (0, 0)),
+        interpret=True,
+    )(binned, vals)
+    hist = out[: k * C].reshape(k * C, Fp // G, Bp, G)
+    hist = jnp.swapaxes(hist, 2, 3).reshape(k * C, Fp, Bp)[:, :F, :num_bins]
+    got = np.asarray(
+        jnp.moveaxis(
+            jnp.moveaxis(hist, 0, -1).reshape(F, num_bins, k, C), 2, 0
+        )
+    )
+    # pad docs carry node id 0 but zero values — they must not perturb node 0
+    np.testing.assert_allclose(ref[..., 0], got[..., 0], atol=1e-5)
+    np.testing.assert_allclose(ref[..., 1], got[..., 1], rtol=2e-4, atol=1e-4)
+
+
 def test_collapse_leaves_factor(small_problem):
     """Bottom-up leaf-merge pruning (rt.cc:93-152): larger factors collapse
     deeper, trees stay scorable, factor=0 is a no-op."""
