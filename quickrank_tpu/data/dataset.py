@@ -99,6 +99,22 @@ class Dataset:
         return ds
 
 
+def select_columns(ds: Dataset, keep: np.ndarray, name: str = "") -> Dataset:
+    """Dataset restricted to the 0-based feature columns ``keep``
+    (Cleaver::filter_dataset, cleaver.cc:448-481; also the driver's
+    --features selection).  ``keep`` must be in [0, num_features)."""
+    keep = np.asarray(keep)
+    if keep.size and (keep.min() < 0 or keep.max() >= ds.num_features):
+        raise ValueError(
+            f"feature selection out of range [0, {ds.num_features}): "
+            f"{int(keep.min())}..{int(keep.max())}"
+        )
+    qids = np.repeat(ds.qids, ds.docs_per_query())
+    return Dataset.from_arrays(
+        ds.features[:, keep], ds.labels, qids, name=name or ds.name
+    )
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 

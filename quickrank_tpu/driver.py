@@ -46,14 +46,20 @@ def _read_feature_file(path: str) -> np.ndarray:
                 ids.append(int(line))
     if not ids:
         raise ValueError(f"{path}: empty feature file")
+    if min(ids) < 1:
+        # '0' is almost always a 0-based/1-based confusion; as a Python
+        # index it would silently select the LAST column
+        raise ValueError(
+            f"{path}: feature ids are 1-based (svml convention); got "
+            f"{min(ids)}"
+        )
     return np.asarray(sorted(set(ids)), np.int64) - 1
 
 
 def _select_features(ds: Dataset, keep: np.ndarray) -> Dataset:
-    qids = np.repeat(ds.qids, ds.docs_per_query())
-    return Dataset.from_arrays(
-        ds.features[:, keep], ds.labels, qids, name=ds.name
-    )
+    from quickrank_tpu.data.dataset import select_columns
+
+    return select_columns(ds, keep)
 
 
 def run(params: dict) -> dict:

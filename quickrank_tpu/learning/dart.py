@@ -491,13 +491,8 @@ class Dart(LambdaMart):
                 m_va = float(eval_va(scores_va))
             # per-tree mean |output| drives the CONTR samplers — rebuild it
             # for the imported trees the same way fit-time tracks it
-            def _contrib_body(_, t):
-                tree = ens.tree(t)
-                d = tree.leaf_value[descend_tree_binned(tr.step.binned, tree, md)]
-                return None, jnp.sum(jnp.abs(d) * tr.step.doc_mask) / n_real
-
-            _, contribs = jax.lax.scan(
-                _contrib_body, None, jnp.arange(ens.capacity)
+            contribs = self._contribs_j(
+                ens, tr.step.binned, tr.step.doc_mask, jnp.float32(n_real), md
             )
             contributions = [float(c) for c in np.asarray(contribs)[:T0]]
             best_tr = m_tr
@@ -808,6 +803,22 @@ class Dart(LambdaMart):
         w2 = np.zeros_like(w_host)
         w2[:new_T] = w_host[keep]
         return new, contributions, w2, new_T
+
+    @staticmethod
+    @partial(jax.jit, static_argnames=("md",))
+    def _contribs_j(ens: EnsembleTensors, binned, doc_mask, n_real, md: int):
+        """Per-tree mean |output| over the real docs, for the warm-start
+        contribution rebuild.  Jitted with ens/binned as ARGUMENTS for the
+        same reason as _full_rescore_j below (constant-folding a
+        multi-hundred-MB binned tensor into the scan's HLO)."""
+
+        def body(_, t):
+            tree = ens.tree(t)
+            d = tree.leaf_value[descend_tree_binned(binned, tree, md)]
+            return None, jnp.sum(jnp.abs(d) * doc_mask) / n_real
+
+        _, contribs = jax.lax.scan(body, None, jnp.arange(ens.capacity))
+        return contribs
 
     @staticmethod
     @partial(jax.jit, static_argnames=("md",))

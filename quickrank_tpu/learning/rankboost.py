@@ -111,7 +111,10 @@ def pair_potentials(s_flat, sd, levels: tuple, num_bins: int, axis=None):
     S = jnp.sum(rowsum)
     if axis is not None:
         S = jax.lax.psum(S, axis)
-    pi_p = (colsum - rowsum) / S
+    # no label-discordant pair anywhere -> zero potentials (and alpha = 0
+    # downstream), matching the explicit-D formulation where every D entry
+    # is zero; an unguarded 0/0 would poison scores and the saved model
+    pi_p = jnp.where(S > 0.0, (colsum - rowsum) / jnp.maximum(S, 1e-30), 0.0)
     # padded [Q, Dm] -> flat [N] is a pure gather via the inverse map
     pi = pi_p[sd.inv_q, sd.inv_slot] * sd.doc_mask
 
@@ -244,7 +247,7 @@ class RankBoost(LTRAlgorithm):
             # multiplicatively-updated D before renormalization) expressed
             # as a ratio of pair-exponential sums (rankboost.cc:419-445)
             S = float(S)
-            if S_last is not None:
+            if S_last:  # S == 0 (no discordant pairs) keeps z_t at 1
                 z_t = S / S_last
             S_last = S
             f_star_i, t_star_i = int(f_star), int(t_star)

@@ -102,12 +102,14 @@ class _PartialEval:
         def metric_f(scores, padded):
             return eval_padded_local(metric, padded, scores, axis)
 
-        def drop_one_f(base, w, X, padded):
+        def drop_one_f(base, w, X, idxs, padded):
+            # only the candidate window's trees (idxs), not all T — with
+            # --opt-last-only the window can be 20x smaller than T
             def one(f):
                 col = jax.lax.dynamic_index_in_dim(X, f, 1, keepdims=False)
                 return eval_padded_local(metric, padded, base - w[f] * col, axis)
 
-            return jax.vmap(one)(jnp.arange(X.shape[1]))
+            return jax.vmap(one)(idxs)
 
         def apply_drop_f(base, w, X, f):
             col = jax.lax.dynamic_index_in_dim(X, f, 1, keepdims=False)
@@ -131,7 +133,7 @@ class _PartialEval:
 
         self._base = wrap(base_f, (rep, mat), dvec)
         self._metric = wrap(metric_f, (dvec, tr), rep)
-        self._drop_one = wrap(drop_one_f, (dvec, rep, mat, tr), rep)
+        self._drop_one = wrap(drop_one_f, (dvec, rep, mat, rep, tr), rep)
         self._apply_drop = wrap(apply_drop_f, (dvec, rep, mat, rep), dvec)
         self._mask_metrics = wrap(mask_metrics_f, (dvec, rep, rep, mat, tr), rep)
         self._score_loss = wrap(score_loss_f, (dvec, rep, mat, tr), rep)
@@ -145,12 +147,14 @@ class _PartialEval:
     def metric_of_weights(self, w) -> float:
         return self.metric_of(self.base(w))
 
-    def drop_one_metrics(self, base, w) -> np.ndarray:
-        """Metric after removing tree f, for every f — [T] host array
-        (a mutable copy: QUALITY_LOSS_ADV masks already-pruned entries)."""
+    def drop_one_metrics(self, base, w, start: int = 0) -> np.ndarray:
+        """Metric after removing tree f, for f in [start, T) — [T - start]
+        host array (a mutable copy: QUALITY_LOSS_ADV masks already-pruned
+        entries).  Entry i corresponds to tree start + i."""
         return np.array(
             self._drop_one(
                 base, jnp.asarray(w, jnp.float32), self.padded.features,
+                jnp.arange(start, self.num_trees, dtype=jnp.int32),
                 self.padded,
             )
         )
@@ -376,7 +380,7 @@ class Cleaver(Optimization):
         base = ev.base(weights)
 
         if method == "QUALITY_LOSS":
-            ms = ev.drop_one_metrics(base, weights)[start:T]
+            ms = ev.drop_one_metrics(base, weights, start)
             # prune the k whose removal leaves the HIGHEST metric
             idx = np.argsort(-ms, kind="stable")[:k]
             return set(start + idx)
@@ -387,7 +391,7 @@ class Cleaver(Optimization):
             # (quality_loss_adv: same loop, one device pass per pick)
             pruned: set = set()
             for _ in range(k):
-                ms = ev.drop_one_metrics(base, weights)[start:T]
+                ms = ev.drop_one_metrics(base, weights, start)
                 for f in pruned:
                     ms[f - start] = -np.inf
                 best = start + int(np.argmax(ms))
@@ -518,7 +522,6 @@ class Cleaver(Optimization):
 
 def _filter_columns(ds: Dataset, keep: np.ndarray) -> Dataset:
     """Drop pruned columns (Cleaver::filter_dataset, cleaver.cc:448-481)."""
-    qids = np.repeat(ds.qids, ds.docs_per_query())
-    return Dataset.from_arrays(
-        ds.features[:, keep], ds.labels, qids, name=f"filtered:{ds.name}"
-    )
+    from quickrank_tpu.data.dataset import select_columns
+
+    return select_columns(ds, keep, name=f"filtered:{ds.name}")

@@ -46,16 +46,26 @@ def _route_bits(binned, f_sel, t_star, pos, n_nodes):
 
     Two exact contractions instead of elementwise gathers over the doc axis
     (which the TPU serializes ~50x slower): a bf16 one-hot matmul picks each
-    node's split-feature column on the MXU (bin ids <= 255 are exact in
-    bf16), and a [N, nodes] one-hot select picks each doc's own node's
-    value and threshold."""
+    node's split-feature column on the MXU, and a [N, nodes] one-hot select
+    picks each doc's own node's value and threshold.  bf16 holds integers
+    <= 256 exactly, so the u8 wire uses one plane; the u16 wire (> 256
+    bins) contracts its hi and lo bytes separately — each product is exact
+    and the f32 recombination 256*hi + lo is exact below 2**24."""
     F = binned.shape[1]
     sel = (f_sel[None, :] == jnp.arange(F)[:, None]).astype(jnp.bfloat16)
-    fcols = jax.lax.dot_general(
-        binned.astype(jnp.bfloat16), sel,
-        (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [N, nodes]
+
+    def _plane(x):
+        return jax.lax.dot_general(
+            x.astype(jnp.bfloat16), sel,
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [N, nodes]
+
+    if binned.dtype == jnp.uint8:
+        fcols = _plane(binned)
+    else:
+        b = binned.astype(jnp.int32)
+        fcols = 256.0 * _plane(b >> 8) + _plane(b & 0xFF)
     own = pos[:, None] == jnp.arange(n_nodes)[None, :]
     val = jnp.sum(jnp.where(own, fcols, 0.0), axis=1)
     thr = jnp.sum(

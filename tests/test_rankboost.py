@@ -117,3 +117,22 @@ def test_rankboost_sharded_matches_single_device():
     np.testing.assert_array_equal(r1.features_, r4.features_)
     np.testing.assert_allclose(r1.thetas_, r4.thetas_, rtol=1e-6)
     np.testing.assert_allclose(r1.alphas_, r4.alphas_, rtol=1e-3)
+
+
+def test_rankboost_no_discordant_pairs_is_finite():
+    """A training set where every query's docs share one label has zero
+    pair-weight mass (S = 0).  The potentials and the running Z ratio must
+    degrade to alpha = 0 — not 0/0 NaN — matching the explicit-D
+    formulation where all of D is zero (rankboost.cc:276-292)."""
+    from quickrank_tpu.data.dataset import Dataset
+
+    rng = np.random.default_rng(0)
+    n_q, dpq = 8, 10
+    feats = rng.standard_normal((n_q * dpq, 6)).astype(np.float32)
+    labels = np.repeat(np.arange(n_q) % 3, dpq).astype(np.float32)
+    qids = np.repeat(np.arange(1, n_q + 1), dpq)
+    ds = Dataset.from_arrays(feats, labels, qids, name="flat-labels")
+    rb = RankBoost(ntrees=4, nthresholds=16, seed=0)
+    info = rb.learn(ds, None, Ndcg(10), verbose=False)
+    assert np.isfinite(info["train"]).all()
+    assert np.allclose(rb.alphas_, 0.0)

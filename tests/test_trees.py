@@ -373,6 +373,30 @@ def test_levelwise_growth(small_problem):
     np.testing.assert_array_equal(np.asarray(node), via)
 
 
+def test_levelwise_routing_above_256_bins(rng):
+    """Regression: _route_bits once cast bin ids to bf16, which is only
+    exact up to 256 — with >257 bins, odd bin ids adjacent to the chosen
+    threshold mis-routed.  Level-wise routing must equal tree descent for
+    any bin count the u16 wire supports."""
+    from quickrank_tpu.trees.grow_level import fit_tree_levelwise
+
+    N, F = 3000, 4
+    X = rng.integers(0, 400, size=(N, F)).astype(np.float32)
+    y = (X[:, 0] > 300).astype(np.float32) + rng.normal(0, 0.1, N).astype(
+        np.float32
+    )
+    b = bin_dataset(X, nthresholds=0)  # one bin per distinct value: ~400
+    assert b.num_bins > 257, b.num_bins
+    cfg = GrowConfig(nleaves=16, min_leaf_support=1, num_bins=b.num_bins)
+    tree, node = fit_tree_levelwise(
+        jnp.asarray(b.binned), jnp.asarray(y),
+        jnp.ones((N,), bool), jnp.asarray(b.thresholds), 4, cfg,
+    )
+    assert int(jnp.max(tree.threshold_bin)) > 256  # splits land up high
+    via = np.asarray(descend_tree_binned(jnp.asarray(b.binned), tree, 5))
+    np.testing.assert_array_equal(np.asarray(node), via)
+
+
 @pytest.mark.parametrize("newton", [False, True])
 def test_levelwise_leaf_values_match_leaf_outputs(small_problem, newton):
     """The level-wise grower's histogram-derived leaf values (left = cum at
