@@ -687,9 +687,13 @@ class Mart(LTRAlgorithm):
         # iteration (Selective's adaptive factor, StochasticNegative's
         # resampling) must see each iteration's result before dispatching
         # the next — no pipelining for them.
+        # __func__ check also catches INSTANCE-level overrides (the device
+        # profiler binds one to mark capture boundaries — those must stay
+        # aligned with consumption)
         pipelined = (
             not uses_presence
-            and type(self)._post_iteration is Mart._post_iteration
+            and getattr(self._post_iteration, "__func__", None)
+            is Mart._post_iteration
         )
         stopped_early = False
         for m in range(start_iter, self.ntrees):
