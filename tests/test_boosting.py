@@ -114,3 +114,29 @@ def test_mart_trains_with_rmse(splits):
     info = m.learn(train, valid, Rmse(), verbose=False)
     # RMSE is negated (higher is better); squared-loss boosting must improve it
     assert info["train"][-1] > info["train"][0]
+
+
+def test_pipelined_fetch_matches_serial(splits):
+    """The one-deep metric-fetch pipeline (learn dispatches iteration m+1
+    before reading iteration m's metrics) must leave history, early stop,
+    best iteration, and the final rolled-back model EXACTLY as the serial
+    loop produces them — including when esr fires mid-run."""
+    train, valid, _ = splits
+
+    def run(serial: bool):
+        m = Mart(ntrees=30, nleaves=8, nthresholds=32, esr=4, seed=2)
+        if serial:
+            # an instance-level hook disables the pipeline (mart.py gate)
+            m._post_iteration = lambda it, improved: None
+        info = m.learn(train, valid, Ndcg(10), verbose=False)
+        return m, info
+
+    mp, ip = run(serial=False)
+    ms, is_ = run(serial=True)
+    assert ip["train"] == is_["train"]
+    assert ip["valid"] == is_["valid"]
+    assert ip["best_iteration"] == is_["best_iteration"]
+    assert int(mp.ensemble.num_trees) == int(ms.ensemble.num_trees)
+    np.testing.assert_array_equal(
+        np.asarray(mp.ensemble.leaf_value), np.asarray(ms.ensemble.leaf_value)
+    )
