@@ -34,9 +34,27 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-# Measured on this host via scripts/c_baseline.py (reference-style compiled-C
-# oblivious scorer, same 1000-tree model, single thread).
+# Fallback when the live measurement below fails (recorded once via
+# scripts/c_baseline.py on an r1 bench host).  vs_baseline is normally
+# computed against a LIVE same-host run of the reference-style compiled-C
+# oblivious scorer (same 1000-tree model, single thread) because these VM
+# hosts vary round to round (observed 205k-297k docs/s for identical code).
 BASELINE_DOCS_PER_SEC = 296996.0
+
+
+def measure_c_baseline() -> float:
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts")
+        )
+        import c_baseline
+
+        v = c_baseline.measure(docs=20000, rounds=5)
+        log(f"# live C baseline: {v:,.0f} docs/s single-thread")
+        return v
+    except Exception as e:  # noqa: BLE001 — any toolchain failure
+        log(f"# C baseline measurement failed ({e}); using recorded constant")
+        return BASELINE_DOCS_PER_SEC
 
 
 def log(*a):
@@ -152,6 +170,10 @@ def main():
     # runs) skip the 30-140 s first-compile cost of the training step.
     jax.config.update("jax_compilation_cache_dir", "/tmp/qrtpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    # measure the compiled-C comparison point first (pure host, no jax
+    # backend touched — build_model uses numpy only)
+    baseline = measure_c_baseline()
+
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
     log(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
@@ -161,6 +183,7 @@ def main():
     extra: dict = {}
     if os.environ.get("QRTPU_BENCH_TRAIN", "1") != "0":
         extra = bench_training(on_tpu)
+    extra["c_baseline_docs_per_sec"] = baseline
 
     print(
         json.dumps(
@@ -168,7 +191,7 @@ def main():
                 "metric": "ensemble_scoring_throughput_1000tree",
                 "value": docs_per_sec,
                 "unit": "docs/sec/chip",
-                "vs_baseline": docs_per_sec / BASELINE_DOCS_PER_SEC,
+                "vs_baseline": docs_per_sec / baseline,
                 "extra": extra,
             }
         )

@@ -72,9 +72,10 @@ class _ShimModel:
 
 
 def build_model():
-    """The exact model bench.py scores on-chip (same rng stream)."""
-    import jax.numpy as jnp
-
+    """The exact model bench.py scores on-chip (same rng stream) — built
+    from plain numpy arrays so this pure-host measurement never touches a
+    jax backend (it runs inside bench.py BEFORE the TPU sections, and must
+    neither wait on the tunnel nor lock the platform)."""
     from quickrank_tpu.trees.oblivious import ObliviousEnsemble
 
     N, F, T, DEPTH = 1 << 17, 136, 1000, 4
@@ -82,21 +83,20 @@ def build_model():
     rng = np.random.default_rng(0)
     rng.normal(size=(N, F))  # consume the doc draw to stay stream-identical
     return ObliviousEnsemble(
-        fid=jnp.asarray(rng.integers(0, F, size=(T, DEPTH)).astype(np.int32)),
-        thr=jnp.asarray(rng.normal(size=(T, DEPTH)).astype(np.float32)),
-        thr_bin=jnp.zeros((T, DEPTH), jnp.int32),
-        leaf=jnp.asarray(rng.normal(size=(T, L)).astype(np.float32)),
-        weight=jnp.full((T,), 0.1, jnp.float32),
-        num_trees=jnp.asarray(T, jnp.int32),
+        fid=rng.integers(0, F, size=(T, DEPTH)).astype(np.int32),
+        thr=rng.normal(size=(T, DEPTH)).astype(np.float32),
+        thr_bin=np.zeros((T, DEPTH), np.int32),
+        leaf=rng.normal(size=(T, L)).astype(np.float32),
+        weight=np.full((T,), 0.1, np.float32),
+        num_trees=np.int32(T),
     )
 
 
-def main(argv=None) -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=20000)
-    ap.add_argument("--rounds", type=int, default=10)
-    args = ap.parse_args(argv)
-
+def measure(docs: int = 20000, rounds: int = 10) -> float:
+    """Codegen -> gcc -O3 -march=native -> timed serial loop; returns
+    docs/sec.  Importable (bench.py measures the live same-host baseline
+    instead of trusting a recorded constant — VM hosts vary round to
+    round).  Raises on any toolchain failure; callers fall back."""
     from quickrank_tpu.io.codegen import generate_oblivious
 
     code = generate_oblivious(_ShimModel(build_model()))
@@ -112,10 +112,19 @@ def main(argv=None) -> int:
         )
         print(f"# compiled in {time.time() - t0:.1f}s", file=sys.stderr)
         out = subprocess.run(
-            [exe, str(args.docs), str(args.rounds), "136"],
+            [exe, str(docs), str(rounds), "136"],
             capture_output=True, text=True, check=True,
         )
-    docs_per_sec = float(out.stdout.strip())
+    return float(out.stdout.strip())
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=20000)
+    ap.add_argument("--rounds", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    docs_per_sec = measure(args.docs, args.rounds)
     print(
         f"# {args.docs} docs x {args.rounds} rounds x 1000 trees: "
         f"{docs_per_sec:,.0f} docs/s single-thread",
