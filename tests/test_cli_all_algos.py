@@ -125,3 +125,29 @@ def test_cli_features_file_restricts_columns(svml_dir, tmp_path, splits):
     # the model only references the 5 kept columns (0-based < 5)
     f = np.asarray(loaded.ensemble.feature)
     assert f.max() < 5
+
+
+def test_cli_features_file_rejects_zero_id(svml_dir, tmp_path):
+    """A '0' in a feature file is a 0-based/1-based confusion; as a Python
+    index it would silently pick the LAST column — must raise instead."""
+    feats = tmp_path / "feats.txt"
+    feats.write_text("0\n2\n")
+    with pytest.raises(ValueError, match="1-based"):
+        main([
+            "--algo", "MART", "--train", str(svml_dir / "train.svml"),
+            "--num-trees", "2", "--num-leaves", "4",
+            "--num-thresholds", "16", "--features", str(feats), "--quiet",
+        ])
+
+
+def test_select_columns_validates_range(splits):
+    from quickrank_tpu.data.dataset import select_columns
+
+    train, _, _ = splits
+    sub = select_columns(train, np.asarray([0, 2]))
+    assert sub.num_features == 2
+    np.testing.assert_array_equal(sub.features[:, 1], train.features[:, 2])
+    with pytest.raises(ValueError, match="out of range"):
+        select_columns(train, np.asarray([train.num_features]))
+    with pytest.raises(ValueError, match="out of range"):
+        select_columns(train, np.asarray([-1]))
