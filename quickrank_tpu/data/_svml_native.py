@@ -80,3 +80,66 @@ def read(path: str, nthreads: int = 0):
     return Dataset.from_arrays(
         feats, labels, qids, name=os.path.basename(path)
     )
+
+
+# -- writer (native/svml_writer.cc) ------------------------------------------
+
+_WSRC = os.path.normpath(
+    os.path.join(_HERE, "..", "..", "native", "svml_writer.cc")
+)
+_WLIB_PATH = os.path.join(os.path.dirname(_WSRC), "libsvmlwrite.so")
+
+_wlib = None
+
+
+def _load_writer():
+    global _wlib
+    if _wlib is not None:
+        return _wlib
+    if not os.path.exists(_WLIB_PATH) or (
+        os.path.getmtime(_WLIB_PATH) < os.path.getmtime(_WSRC)
+    ):
+        subprocess.run(
+            [
+                "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                "-std=c++17", "-pthread", "-o", _WLIB_PATH, _WSRC,
+            ],
+            check=True,
+            capture_output=True,
+        )
+    lib = ctypes.CDLL(_WLIB_PATH)
+    lib.svml_write.restype = ctypes.c_int
+    lib.svml_write.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int,
+    ]
+    _wlib = lib
+    return lib
+
+
+def write(ds, path: str, nthreads: int = 0) -> None:
+    """Write a Dataset as SVML with the multithreaded native writer.
+    Raises on any toolchain/IO failure — the caller falls back to the
+    Python writer."""
+    lib = _load_writer()
+    feats = np.ascontiguousarray(ds.features, np.float32)
+    labels = np.ascontiguousarray(ds.labels, np.float32)
+    qids = np.ascontiguousarray(
+        np.repeat(ds.qids, ds.docs_per_query()), np.int64
+    )
+    rc = lib.svml_write(
+        path.encode(),
+        feats.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        qids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(feats.shape[0]),
+        ctypes.c_int64(feats.shape[1]),
+        ctypes.c_int(nthreads),
+    )
+    if rc != 0:
+        raise OSError(f"native svml writer failed (rc={rc}) for {path}")

@@ -95,7 +95,18 @@ def read_svml(path: str, verbose: bool = False) -> Dataset:
 def write_svml(ds: Dataset, path: str) -> None:
     """Write a dataset in SVML format (Svml::write, src/io/svml.cc:163-188).
 
-    Like the reference writer, every feature value is emitted (dense)."""
+    Like the reference writer, every feature value is emitted (dense).
+    Uses the multithreaded native writer when it builds (a --train-partial
+    dump at MSLR scale is hundreds of millions of formatted values); falls
+    back to the Python loop.  Values carry 9 significant digits either way
+    (lossless float32 round-trip)."""
+    try:
+        from quickrank_tpu.data import _svml_native  # noqa: PLC0415
+
+        _svml_native.write(ds, path)
+        return
+    except Exception:
+        pass
     with open(path, "w") as f:
         for q in range(ds.num_queries):
             sl = ds.query_slice(q)
@@ -103,9 +114,12 @@ def write_svml(ds: Dataset, path: str) -> None:
             for r in range(sl.start, sl.stop):
                 label = ds.labels[r]
                 lab_str = (
-                    str(int(label)) if float(label).is_integer() else repr(float(label))
+                    str(int(label))
+                    if float(label).is_integer()
+                    else f"{float(label):.9g}"
                 )
                 feats = " ".join(
-                    f"{j + 1}:{ds.features[r, j]:g}" for j in range(ds.num_features)
+                    f"{j + 1}:{ds.features[r, j]:.9g}"
+                    for j in range(ds.num_features)
                 )
                 f.write(f"{lab_str} qid:{qid} {feats}\n")

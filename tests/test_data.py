@@ -209,3 +209,37 @@ def test_native_binner_matches_numpy(rng):
         for f in range(F):
             want[:, f] = np.searchsorted(ref[f], X[:, f], side="left")
         np.testing.assert_array_equal(got, want)
+
+
+def test_native_writer_matches_python_and_roundtrips(tmp_path):
+    """The multithreaded C++ SVML writer must emit byte-identical output to
+    the Python fallback (label int/%.9g forms, qid, dense fid:val) and
+    round-trip float32 exactly (both use 9 significant digits — a
+    documented deviation from the reference's std::fixed writer,
+    svml.cc:174-180, whose fractional cap truncates small magnitudes)."""
+    import dataclasses
+
+    from quickrank_tpu.data import _svml_native
+    from quickrank_tpu.data.svml import read_svml, write_svml
+
+    ds = make_ranking_dataset(
+        num_queries=25, avg_docs_per_query=16, num_features=7, seed=9
+    )
+    lab = np.asarray(ds.labels).copy()
+    lab[0], lab[1] = 1.25, 0.3333333  # exercise the non-integral label form
+    ds = dataclasses.replace(ds, labels=lab)
+
+    native = tmp_path / "n.svml"
+    py = tmp_path / "p.svml"
+    _svml_native.write(ds, str(native))
+    orig = _svml_native.write
+    _svml_native.write = lambda *a, **k: (_ for _ in ()).throw(OSError("x"))
+    try:
+        write_svml(ds, str(py))  # falls back to the Python loop
+    finally:
+        _svml_native.write = orig
+    assert native.read_text() == py.read_text()
+
+    r = read_svml(str(native))
+    np.testing.assert_array_equal(np.asarray(r.features), ds.features)
+    np.testing.assert_array_equal(np.asarray(r.labels), ds.labels)
