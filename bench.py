@@ -165,6 +165,26 @@ def bench_training(on_tpu: bool) -> dict:
     return out
 
 
+def _device_responsive(timeout_s: int = 150) -> bool:
+    """Probe the default backend in a SUBPROCESS with a timeout.  A wedged
+    TPU tunnel hangs jax.devices() indefinitely (observed: a killed client
+    can leave the pool grant stuck for hours); probing in-process would
+    hang this bench with it.  On failure the bench falls back to CPU so a
+    BENCH json line is always produced."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "jnp.arange(4).sum().block_until_ready()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     # Persistent compile cache: the driver's end-of-round bench (and repeat
     # runs) skip the 30-140 s first-compile cost of the training step.
@@ -173,6 +193,15 @@ def main():
     # measure the compiled-C comparison point first (pure host, no jax
     # backend touched — build_model uses numpy only)
     baseline = measure_c_baseline()
+
+    if not _device_responsive():
+        log("# default device unresponsive (wedged tunnel?) — falling back "
+            "to CPU so the bench still reports")
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=1"
+        ).strip()
+        jax.config.update("jax_platforms", "cpu")
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
@@ -184,6 +213,7 @@ def main():
     if os.environ.get("QRTPU_BENCH_TRAIN", "1") != "0":
         extra = bench_training(on_tpu)
     extra["c_baseline_docs_per_sec"] = baseline
+    extra["device"] = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
 
     print(
         json.dumps(
