@@ -68,7 +68,8 @@ def _kernel(binned_ref, chan_ref, out_ref, *, F, Bp, G, tile_n):
 
 
 def _node_kernel(
-    binned_ref, vals_ref, out_ref, *, F, Bp, G, tile_n, n0, k, C
+    binned_ref, vals_ref, out_ref, *, F, Bp, G, tile_n, n0, k, C,
+    onehot="repeat",
 ):
     """Per-node packed histogram: node selection happens IN the kernel.
 
@@ -82,7 +83,15 @@ def _node_kernel(
     as planes[ch, TILE] @ onehot[TILE, G*B] with no in-kernel transpose.
     Packing in VMEM avoids the [N, k*C] HBM round-trip (select + concat +
     layout copy + pad, ~25 ms/iteration at MSLR scale) host-side packing
-    paid."""
+    paid.
+
+    ``onehot`` picks the one-hot build (the VPU-bound ~95% of pass cost):
+      * "repeat" — pltpu.repeat the [TILE, G] chunk to [TILE, G*Bp] and
+        compare against a bin-of-column iota; output bins interleaved by
+        feature (col % G), one matmul per G features.
+      * "bcast"  — per-feature broadcast compare of one column against a
+        [TILE, Bp] iota (no repeat materialization — 1/3 fewer VPU ops),
+        one matmul per feature; output is feature-major, no unscramble."""
 
     @pl.when(pl.program_id(0) == 0)
     def _():
@@ -102,6 +111,19 @@ def _node_kernel(
     lo = (packed - hi32).astype(jnp.bfloat16)
     planes = jnp.concatenate([hi, lo], axis=0)  # [2*ch_pad, TILE]
 
+    if onehot == "bcast":
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, Bp), 1)
+        for f in range(F):
+            fcol = binned_ref[:, f : f + 1].astype(jnp.int32)  # [TILE, 1]
+            oh = (fcol == col).astype(jnp.bfloat16)
+            part = jax.lax.dot_general(
+                planes, oh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [2*ch_pad, Bp]
+            out_ref[:, f * Bp : (f + 1) * Bp] += part[:ch_pad] + part[ch_pad:]
+        return
+
     col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, G * Bp), 1)
     bin_of_col = col // G
     for g0 in range(0, F, G):
@@ -119,7 +141,8 @@ def _node_kernel(
 
 
 @partial(
-    jax.jit, static_argnames=("num_bins", "n0", "k", "tile_n", "feat_group")
+    jax.jit,
+    static_argnames=("num_bins", "n0", "k", "tile_n", "feat_group", "onehot"),
 )
 def node_histogram_pallas(
     binned: jnp.ndarray,
@@ -130,6 +153,7 @@ def node_histogram_pallas(
     k: int,
     tile_n: int = 1024,
     feat_group: int = 16,
+    onehot: str = "repeat",
 ) -> jnp.ndarray:
     """hist[f, b, i*C + c] = sum_{n: pos[n] == n0+i} values_t[c, n]
     [binned[n, f] == b]  ->  [F, B, k*C].
@@ -160,7 +184,8 @@ def node_histogram_pallas(
 
     out = pl.pallas_call(
         partial(
-            _node_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n, n0=n0, k=k, C=C
+            _node_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n, n0=n0, k=k, C=C,
+            onehot=onehot,
         ),
         out_shape=jax.ShapeDtypeStruct((ch_pad, Fp * Bp), jnp.float32),
         grid=(n_pad // tile_n,),
@@ -173,6 +198,9 @@ def node_histogram_pallas(
             (ch_pad, Fp * Bp), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
     )(binned, vals)
+    if onehot == "bcast":  # feature-major output, no interleave to undo
+        hist = out[:ch].reshape(ch, Fp, Bp)[:, :F, :num_bins]
+        return jnp.moveaxis(hist, 0, -1)
     hist = out[:ch].reshape(ch, Fp // G, Bp, G)
     hist = jnp.swapaxes(hist, 2, 3).reshape(ch, Fp, Bp)[:, :F, :num_bins]
     return jnp.moveaxis(hist, 0, -1)

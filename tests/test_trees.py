@@ -258,10 +258,13 @@ def _hist_interpret(binned, values, num_bins):
     return jnp.moveaxis(hist, 0, -1)
 
 
-def test_node_pallas_histogram_matches_scatter(small_problem):
+@pytest.mark.parametrize("onehot", ["repeat", "bcast"])
+def test_node_pallas_histogram_matches_scatter(small_problem, onehot):
     """The packed per-node MXU kernel (node selection in VMEM, channel-major
     [C+1, N] operand — interpret mode on CPU) must match the scatter-add
-    node_histograms path over every (node, feature, bin, channel) cell."""
+    node_histograms path over every (node, feature, bin, channel) cell,
+    for both one-hot builds (tile-repeat interleaved / per-feature
+    broadcast)."""
     from functools import partial as _p
 
     from jax.experimental import pallas as pl
@@ -298,7 +301,8 @@ def test_node_pallas_histogram_matches_scatter(small_problem):
     binned = jnp.pad(binned, ((0, n_pad - N), (0, Fp - F)))
     vals = jnp.pad(vals, ((0, 0), (0, n_pad - N)))
     out = pl.pallas_call(
-        _p(ph._node_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n, n0=n0, k=k, C=C),
+        _p(ph._node_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n, n0=n0, k=k, C=C,
+           onehot=onehot),
         out_shape=jax.ShapeDtypeStruct((ch_pad, Fp * Bp), jnp.float32),
         grid=(n_pad // tile_n,),
         in_specs=[
@@ -308,8 +312,13 @@ def test_node_pallas_histogram_matches_scatter(small_problem):
         out_specs=pl.BlockSpec((ch_pad, Fp * Bp), lambda i: (0, 0)),
         interpret=True,
     )(binned, vals)
-    hist = out[: k * C].reshape(k * C, Fp // G, Bp, G)
-    hist = jnp.swapaxes(hist, 2, 3).reshape(k * C, Fp, Bp)[:, :F, :num_bins]
+    if onehot == "bcast":
+        hist = out[: k * C].reshape(k * C, Fp, Bp)[:, :F, :num_bins]
+    else:
+        hist = out[: k * C].reshape(k * C, Fp // G, Bp, G)
+        hist = jnp.swapaxes(hist, 2, 3).reshape(k * C, Fp, Bp)[
+            :, :F, :num_bins
+        ]
     got = np.asarray(
         jnp.moveaxis(
             jnp.moveaxis(hist, 0, -1).reshape(F, num_bins, k, C), 2, 0
