@@ -53,11 +53,37 @@ def masked_histogram(
     scatter-add fallback elsewhere.
     """
     if _on_tpu():
-        from quickrank_tpu.ops.pallas_histogram import histogram_pallas
-
-        v = jnp.where(mask[:, None], values, 0.0)
-        return histogram_pallas(binned, v, num_bins)
+        # channel-major select ([C, N] — ~3x less HBM traffic than the
+        # 8-lane-padded doc-major [N, C] form), then the node kernel with
+        # the mask folded in as a two-node id row: out-of-mask docs route
+        # to node 1, whose channels are never read back
+        vt = jnp.where(mask[None, :], values.T, 0.0)
+        return masked_histogram_t(binned, vt, mask, num_bins)
     return masked_histogram_scatter(binned, values, mask, num_bins)
+
+
+def masked_histogram_t(
+    binned: jnp.ndarray,
+    values_t: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_bins: int,
+) -> jnp.ndarray:
+    """:func:`masked_histogram` from CHANNEL-MAJOR premasked values.
+
+    ``values_t`` is f32 ``[C, N]`` with zero columns outside the *constant*
+    doc/sample mask (so it can be built once per tree); ``mask`` carries the
+    per-call subset bits only.  On TPU the subset select happens INSIDE the
+    Pallas kernel (``pos`` row, an [N] i32 per call) instead of an [N, C]
+    doc-major select + layout copy per call — the same trick that made
+    level-wise growth fast (ops/pallas_histogram.py::_node_kernel).  The
+    best-first grower calls this once per split (trees/grow.py::hist_of).
+    """
+    if _on_tpu():
+        from quickrank_tpu.ops.pallas_histogram import node_histogram_pallas
+
+        pos = jnp.where(mask, 0, 1).astype(jnp.int32)
+        return node_histogram_pallas(binned, values_t, pos, num_bins, 0, 1)
+    return masked_histogram_scatter(binned, values_t.T, mask, num_bins)
 
 
 def masked_histogram_scatter(

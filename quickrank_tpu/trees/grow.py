@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from quickrank_tpu.ops.histogram import doc_channels, masked_histogram
+from quickrank_tpu.ops.histogram import doc_channels, masked_histogram_t
 from quickrank_tpu.trees.structs import Tree
 
 # Plain float (not a jnp array): module import must not initialize a backend.
@@ -171,9 +171,13 @@ def fit_tree(
         key = jax.random.PRNGKey(0)
 
     chan = doc_channels(grad, doc_mask)
+    # channel-major + doc_mask select ONCE per tree; per-split node
+    # selection then happens inside the TPU kernel from an [N] pos row
+    # (masked_histogram_t) instead of an [N, C] select per split
+    chan_t = jnp.where(doc_mask[None, :], chan.T, 0.0)
 
     def hist_of(mask):
-        h = masked_histogram(binned, chan, mask, B)
+        h = masked_histogram_t(binned, chan_t, mask, B)
         if axis_name is not None:
             h = jax.lax.psum(h, axis_name)
         return h

@@ -329,6 +329,71 @@ def test_node_pallas_histogram_matches_scatter(small_problem, onehot):
     np.testing.assert_allclose(ref[..., 1], got[..., 1], rtol=2e-4, atol=1e-4)
 
 
+def test_masked_histogram_t_mask_as_node(small_problem):
+    """masked_histogram_t's TPU formula — the subset mask folded in as a
+    two-node pos row (in-mask docs -> node 0, rest -> node 1), k=1 on the
+    packed node kernel (interpret mode on CPU) — must equal the
+    masked_histogram scatter reference for the same subset."""
+    from functools import partial as _p
+
+    from jax.experimental import pallas as pl
+    from quickrank_tpu.ops import pallas_histogram as ph
+    from quickrank_tpu.ops.histogram import (
+        doc_channels, masked_histogram_scatter, masked_histogram_t,
+    )
+
+    X, y = small_problem
+    b = bin_dataset(X, nthresholds=16)
+    N = X.shape[0]
+    rng = np.random.default_rng(11)
+    doc_mask = jnp.asarray(rng.uniform(size=N) < 0.9)
+    subset = jnp.asarray(rng.uniform(size=N) < 0.5) & doc_mask
+    chan = doc_channels(jnp.asarray(y), doc_mask)
+    chan_t = jnp.where(doc_mask[None, :], chan.T, 0.0)
+    C = chan.shape[-1]
+    num_bins = b.num_bins
+    ref = np.asarray(
+        masked_histogram_scatter(jnp.asarray(b.binned), chan, subset, num_bins)
+    )
+
+    # CPU dispatch of the public helper is the scatter path — exact match
+    got_cpu = np.asarray(
+        masked_histogram_t(jnp.asarray(b.binned), chan_t, subset, num_bins)
+    )
+    np.testing.assert_allclose(ref, got_cpu, rtol=1e-6, atol=1e-6)
+
+    # the TPU branch's exact construction, kernel in interpret mode
+    pos = jnp.where(subset, 0, 1).astype(jnp.int32)
+    n0, k, tile_n, G = 0, 1, 128, 4
+    binned = jnp.asarray(b.binned)
+    F = binned.shape[1]
+    ch_pad = ph._round_up(max(k * C, ph.CH_PAD), 8)
+    Bp = ph._round_up(num_bins, ph.LANES)
+    n_pad = ph._round_up(max(N, tile_n), tile_n)
+    Fp = ph._round_up(F, G)
+    vals = jnp.concatenate(
+        [chan_t.astype(jnp.float32), pos.astype(jnp.float32)[None, :]], axis=0
+    )
+    binned = jnp.pad(binned, ((0, n_pad - N), (0, Fp - F)))
+    vals = jnp.pad(vals, ((0, 0), (0, n_pad - N)))
+    out = pl.pallas_call(
+        _p(ph._node_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n, n0=n0, k=k, C=C),
+        out_shape=jax.ShapeDtypeStruct((ch_pad, Fp * Bp), jnp.float32),
+        grid=(n_pad // tile_n,),
+        in_specs=[
+            pl.BlockSpec((tile_n, Fp), lambda i: (i, 0)),
+            pl.BlockSpec((C + 1, tile_n), lambda i: (0, i)),
+        ],
+        out_specs=pl.BlockSpec((ch_pad, Fp * Bp), lambda i: (0, 0)),
+        interpret=True,
+    )(binned, vals)
+    hist = out[:C].reshape(C, Fp // G, Bp, G)
+    hist = jnp.swapaxes(hist, 2, 3).reshape(C, Fp, Bp)[:, :F, :num_bins]
+    got = np.asarray(jnp.moveaxis(hist, 0, -1))
+    np.testing.assert_allclose(ref[..., 0], got[..., 0], atol=1e-5)
+    np.testing.assert_allclose(ref[..., 1], got[..., 1], rtol=2e-4, atol=1e-4)
+
+
 def test_collapse_leaves_factor(small_problem):
     """Bottom-up leaf-merge pruning (rt.cc:93-152): larger factors collapse
     deeper, trees stay scorable, factor=0 is a no-op."""
