@@ -166,23 +166,12 @@ def bench_training(on_tpu: bool) -> dict:
 
 
 def _device_responsive(timeout_s: int = 150) -> bool:
-    """Probe the default backend in a SUBPROCESS with a timeout.  A wedged
-    TPU tunnel hangs jax.devices() indefinitely (observed: a killed client
-    can leave the pool grant stuck for hours); probing in-process would
-    hang this bench with it.  On failure the bench falls back to CPU so a
-    BENCH json line is always produced."""
-    import subprocess
+    """Subprocess probe of the default backend (a wedged TPU tunnel hangs
+    every in-process device touch); see utils/backend.py.  On failure the
+    bench falls back to CPU so a BENCH json line is always produced."""
+    from quickrank_tpu.utils.backend import device_responsive
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; "
-             "jnp.arange(4).sum().block_until_ready()"],
-            timeout=timeout_s, capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    return device_responsive(timeout_s)
 
 
 def main():

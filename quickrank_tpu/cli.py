@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--num-shards", type=int, default=0,
                    help="shard queries over this many devices (0 = single)")
+    g.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="device backend: auto probes the default device in a "
+                        "subprocess and falls back to CPU when the TPU "
+                        "tunnel is unresponsive; cpu/tpu skip the probe")
     g.add_argument("--quiet", action="store_true",
                    help="suppress per-iteration progress output")
     g.add_argument("--trace", metavar="DIR",
@@ -134,6 +139,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     params = {k: v for k, v in vars(args).items() if v is not None}
+    from quickrank_tpu.utils.backend import select_platform
+
+    # resolve the backend BEFORE the driver touches any device: a wedged
+    # TPU tunnel otherwise hangs the whole run with no diagnostics
+    select_platform(params.pop("platform", "auto"), log=print)
     from quickrank_tpu import driver
 
     banner = (

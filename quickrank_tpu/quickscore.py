@@ -25,8 +25,15 @@ def main(argv=None) -> int:
     p.add_argument("-m", "--model", required=True, help="XML model")
     p.add_argument("-r", "--rounds", type=int, default=10)
     p.add_argument("-s", "--scores", help="optional output scores file")
+    p.add_argument("--platform", default="auto",
+                   choices=["auto", "cpu", "tpu"],
+                   help="device backend; auto falls back to CPU when the "
+                        "TPU tunnel is unresponsive")
     args = p.parse_args(argv)
 
+    from quickrank_tpu.utils.backend import select_platform
+
+    select_platform(args.platform, log=print)
     from quickrank_tpu.data.svml import read_svml
     from quickrank_tpu.learning.base import LTRAlgorithm
 

@@ -1,0 +1,78 @@
+"""Backend selection and wedged-tunnel guard.
+
+On this image the TPU backend is reached through a tunnel that can wedge
+(observed: a client killed mid-compile leaves every later device touch —
+even ``jnp.arange(4).sum()`` — blocking for hours).  An in-process probe
+would hang with it, so the device is probed in a SUBPROCESS with a timeout;
+on failure entry points fall back to CPU so runs always produce output.
+
+The reference binaries have no analog (quicklearn.cc drives host threads
+directly); this is TPU-runtime plumbing.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+
+def device_responsive(timeout_s: int = 150) -> bool:
+    """True iff the default jax backend completes a trivial reduction in a
+    fresh subprocess within ``timeout_s`` seconds."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "jnp.arange(4).sum().block_until_ready()"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def force_cpu(num_devices: int = 1) -> None:
+    """Pin jax to host CPU (optionally with virtual devices).  Must run
+    before any device/backend use — the platform locks on first touch."""
+    import jax
+
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={num_devices}"
+    ).strip()
+    jax.config.update("jax_platforms", "cpu")
+
+
+def select_platform(
+    platform: str = "auto", probe_timeout_s: int = 150, log=None
+) -> str:
+    """Resolve a ``--platform`` choice before any device use.
+
+    ``cpu``  — pin to host CPU (no probe).
+    ``tpu``  — trust the default backend (no probe, may hang if wedged).
+    ``auto`` — probe the default backend in a subprocess; fall back to CPU
+               with a warning when it is unresponsive.
+    Returns the platform actually selected ("default" = untouched).
+    """
+    if platform == "cpu":
+        force_cpu()
+        return "cpu"
+    if platform == "tpu":
+        return "default"
+    import jax
+
+    # an explicit in-process platform pin (e.g. tests/conftest.py forcing
+    # cpu) is a caller decision — don't probe: the subprocess would still
+    # target the default (possibly wedged) backend and stall every run
+    if getattr(jax.config, "jax_platforms", None):
+        return "default"
+    if not device_responsive(probe_timeout_s):
+        if log is not None:
+            log(
+                "# default device unresponsive (wedged tunnel?) — "
+                "falling back to CPU"
+            )
+        force_cpu()
+        return "cpu"
+    return "default"

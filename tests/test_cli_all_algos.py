@@ -151,3 +151,17 @@ def test_select_columns_validates_range(splits):
         select_columns(train, np.asarray([train.num_features]))
     with pytest.raises(ValueError, match="out of range"):
         select_columns(train, np.asarray([-1]))
+
+
+def test_select_platform_skips_probe_when_pinned(monkeypatch):
+    """With jax_platforms pinned (as this suite's conftest does), --platform
+    auto must not launch the subprocess probe — the probe targets the
+    DEFAULT backend and would stall every CLI run on a wedged tunnel."""
+    from quickrank_tpu.utils import backend
+
+    def boom(*a, **k):
+        raise AssertionError("probe must not run when platform is pinned")
+
+    monkeypatch.setattr(backend, "device_responsive", boom)
+    assert backend.select_platform("auto") == "default"
+    assert backend.select_platform("tpu") == "default"
