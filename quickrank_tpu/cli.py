@@ -132,7 +132,9 @@ def build_parser() -> argparse.ArgumentParser:
     cg.add_argument("--model-file", help="XML model to translate")
     cg.add_argument("--code-file", help="output source file")
     cg.add_argument("--generator", default="condop",
-                    help="[condop|oblivious|vpred]")
+                    help="[condop|oblivious|vpred|stablehlo] — stablehlo "
+                         "writes an AOT-compiled StableHLO scorer artifact "
+                         "(jax.export) instead of C source")
     return p
 
 

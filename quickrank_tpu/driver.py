@@ -288,9 +288,15 @@ def run(params: dict) -> dict:
         generator = p.get("generator", "condop")
         with phase_timer("codegen", sink=timings, verbose=False):
             model = LTRAlgorithm.load(p["model_file"])
-            code = codegen.generate(model, generator)
-            with open(p["code_file"], "w") as f:
-                f.write(code)
+            if generator.lower() == "stablehlo":
+                # AOT-compiled artifact instead of C source (io/export.py)
+                from quickrank_tpu.io.export import export_scorer
+
+                export_scorer(model, path=p["code_file"])
+            else:
+                code = codegen.generate(model, generator)
+                with open(p["code_file"], "w") as f:
+                    f.write(code)
         if verbose:
             print(f"# {generator} code saved to {p['code_file']}")
 
