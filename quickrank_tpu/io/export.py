@@ -34,12 +34,20 @@ def _is_linear(model) -> bool:
     return isinstance(model, _LinearRanker)
 
 
+def _is_rankboost(model) -> bool:
+    from quickrank_tpu.learning.rankboost import RankBoost
+
+    return isinstance(model, RankBoost)
+
+
 def _model_num_features(model) -> int:
     """Smallest feature-vector width the model can score (max used global
     feature id + 1)."""
     if _is_linear(model):
         w = np.asarray(model.get_weights())
         return int(w.shape[0])
+    if _is_rankboost(model):
+        return int(np.asarray(model.features_).max()) + 1
     ens = model._require_model()
     feat = np.asarray(ens.feature)[: int(ens.num_trees)]
     leaf = np.asarray(ens.is_leaf)[: int(ens.num_trees)]
@@ -59,6 +67,19 @@ def _scorer_fn(model) -> Callable:
             return X @ w
 
         return linear
+
+    if _is_rankboost(model):
+        fid = jnp.asarray(np.asarray(model.features_, np.int32))
+        theta = jnp.asarray(np.asarray(model.thetas_, np.float32))
+        aw = jnp.asarray(
+            np.asarray(model.alphas_ * model.signs_, np.float32)
+        )
+
+        def rankboost(X):
+            bits = (X[:, fid] > theta[None, :]).astype(jnp.float32)
+            return bits @ aw
+
+        return rankboost
 
     from quickrank_tpu.ops.scoring import score_ensemble
 

@@ -53,6 +53,17 @@ def test_export_linear_scorer_roundtrip(splits, tmp_path):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_export_rankboost_scorer_roundtrip(splits, tmp_path):
+    train, valid, test = splits
+    algo = ltr_algorithm_factory("RANKBOOST", ntrees=4, nthresholds=16)
+    algo.learn(train, valid, metric=metric_factory("NDCG@10"), verbose=False)
+    scorer = load_scorer(export_scorer(algo))
+    F = _model_num_features(algo)
+    got = scorer(test.features[:, :F].astype(np.float32))
+    ref = np.asarray(algo.score_dataset(test))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_cli_generator_stablehlo(trained_mart, splits, tmp_path):
     """--generator stablehlo through the driver writes a loadable artifact
     (the codegen phase of driver.cc:199-223 with the AOT backend)."""
