@@ -50,9 +50,21 @@ def main():
         f.write(codegen.generate(reloaded, "condop"))
     print("saved /tmp/model.xml and /tmp/model.cc")
 
-    # 5. Batch scoring (dispatches to the Pallas kernel on TPU).
+    # 5. Batch scoring (dispatches to the Pallas kernel on TPU).  Pass a
+    #    device mesh to fan doc rows out over every chip:
+    #    scores = reloaded.score_dataset(test, mesh=make_mesh())
     scores = reloaded.score_dataset(test)
     print("scored", len(scores), "docs; top:", scores.max())
+
+    # 6. AOT serving artifact: the batched scorer + model constants as
+    #    portable StableHLO — deserializable with jax alone (io/export.py).
+    from quickrank_tpu.io.export import export_scorer, load_scorer
+
+    export_scorer(
+        reloaded, path="/tmp/scorer.shlo", num_features=test.num_features
+    )
+    serve = load_scorer("/tmp/scorer.shlo")
+    print("AOT scorer:", serve(test.features)[:3])
 
 
 if __name__ == "__main__":

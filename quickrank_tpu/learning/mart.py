@@ -32,17 +32,6 @@ import jax.numpy as jnp
 from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:  # jax >= 0.4.35 promotes shard_map out of experimental
-    from jax import shard_map as _shard_map
-
-    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
-        return _shard_map(
-            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-            check_vma=check_rep,
-        )
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
-
 from quickrank_tpu.data.dataset import (
     Dataset,
     PaddedDataset,
@@ -59,7 +48,12 @@ from quickrank_tpu.ops.scoring import (
     partial_scores,
     score_ensemble,
 )
-from quickrank_tpu.parallel.mesh import DATA_AXIS, shard_step_data, step_data_specs
+from quickrank_tpu.parallel.mesh import (
+    DATA_AXIS,
+    shard_map,
+    shard_step_data,
+    step_data_specs,
+)
 from quickrank_tpu.trees.grow import GrowConfig, fit_tree, leaf_outputs
 from quickrank_tpu.trees.structs import EnsembleTensors
 
@@ -769,21 +763,43 @@ class Mart(LTRAlgorithm):
             raise RuntimeError(f"{self.NAME}: no trained model")
         return self.ensemble
 
-    def score_dataset(self, ds: Dataset) -> np.ndarray:
+    def score_dataset(
+        self, ds: Dataset, mesh: Optional[Mesh] = None
+    ) -> np.ndarray:
+        """Batch scores.  With ``mesh``, doc rows are sharded over every
+        mesh axis and scored collectives-free (parallel/mesh.py::
+        score_rows_sharded — the mesh analog of the per-doc OpenMP loop,
+        ensemble.cc:96-123); the same fast-path dispatch applies per shard.
+        """
         ens = self._require_model()
         pe = self._perfect_embedding()
+        feats = ds.features
         if pe is not None:
             from quickrank_tpu.ops.pallas_perfect import score_perfect_pallas
             from quickrank_tpu.trees.perfect import compact_feature_space
 
-            compact = compact_feature_space(ds.features, np.asarray(pe.fid))
+            compact = compact_feature_space(feats, np.asarray(pe.fid))
             if compact is not None:
-                feats_c, fid_c = compact
+                feats, fid_c = compact
                 pe = pe.replace(fid=jnp.asarray(fid_c))
-                return np.asarray(score_perfect_pallas(jnp.asarray(feats_c), pe))
-            return np.asarray(score_perfect_pallas(jnp.asarray(ds.features), pe))
-        feats = jnp.asarray(ds.features)
-        return np.asarray(score_ensemble(feats, ens, max_depth=self._descend_depth()))
+            if mesh is not None:
+                from quickrank_tpu.parallel.mesh import score_rows_sharded
+
+                return score_rows_sharded(
+                    score_perfect_pallas, feats, pe, mesh
+                )
+            return np.asarray(score_perfect_pallas(jnp.asarray(feats), pe))
+        md = self._descend_depth()
+        if mesh is not None:
+            from quickrank_tpu.parallel.mesh import score_rows_sharded
+
+            return score_rows_sharded(
+                lambda f, e: score_ensemble(f, e, max_depth=md), feats, ens,
+                mesh,
+            )
+        return np.asarray(
+            score_ensemble(jnp.asarray(feats), ens, max_depth=md)
+        )
 
     def _perfect_embedding(self):
         """Perfect-tree form for the fast scoring kernel (TPU only; trees

@@ -121,22 +121,39 @@ class _ObliviousFit:
             num_trees=jnp.asarray(T, jnp.int32),
         )
 
-    def score_dataset(self, ds, tree_chunk: int = 0) -> np.ndarray:
+    def score_dataset(self, ds, tree_chunk: int = 0, mesh=None) -> np.ndarray:
+        """Scores via the symmetric-tree fast path.  With ``mesh`` the doc
+        rows fan out over every mesh axis (parallel/mesh.py::
+        score_rows_sharded), the bit-OR Pallas kernel running per shard."""
         obl = self.oblivious_ensemble()
         import jax
 
+        feats = ds.features
         if jax.default_backend() == "tpu":
             from quickrank_tpu.ops.pallas_oblivious import score_oblivious_pallas
             from quickrank_tpu.trees.perfect import compact_feature_space
 
-            compact = compact_feature_space(ds.features, np.asarray(obl.fid))
+            compact = compact_feature_space(feats, np.asarray(obl.fid))
             if compact is not None:
-                feats_c, fid_c = compact
+                feats, fid_c = compact
                 obl = obl.replace(fid=jnp.asarray(fid_c))
-                return np.asarray(score_oblivious_pallas(jnp.asarray(feats_c), obl))
-            return np.asarray(score_oblivious_pallas(jnp.asarray(ds.features), obl))
-        feats = jnp.asarray(ds.features)
-        return np.asarray(score_oblivious(feats, obl, tree_chunk=tree_chunk))
+            if mesh is not None:
+                from quickrank_tpu.parallel.mesh import score_rows_sharded
+
+                return score_rows_sharded(
+                    score_oblivious_pallas, feats, obl, mesh
+                )
+            return np.asarray(score_oblivious_pallas(jnp.asarray(feats), obl))
+        if mesh is not None:
+            from quickrank_tpu.parallel.mesh import score_rows_sharded
+
+            return score_rows_sharded(
+                lambda f, e: score_oblivious(f, e, tree_chunk=tree_chunk),
+                feats, obl, mesh,
+            )
+        return np.asarray(
+            score_oblivious(jnp.asarray(feats), obl, tree_chunk=tree_chunk)
+        )
 
 
 class ObliviousMart(_ObliviousFit, Mart):

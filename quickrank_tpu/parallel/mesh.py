@@ -27,6 +27,49 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 FEAT_AXIS = "feat"
 
+try:  # jax >= 0.4.35 promotes shard_map out of experimental
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return _shard_map(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_vma=check_rep,
+        )
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def score_rows_sharded(fn, feats, model_tree, mesh: Mesh):
+    """Data-parallel batch scoring: shard the doc rows of ``feats`` over
+    EVERY axis of ``mesh`` (inference has no cross-doc coupling, so a 2-D
+    training mesh is consumed as one flat doc axis), replicate the model
+    pytree, run ``fn(local_feats, model_tree) -> [n_local]`` per device,
+    reassemble.  No collectives — pure fan-out over ICI-attached chips.
+
+    The reference's scoring parallelism is an OpenMP loop over docs
+    (ensemble.cc:96-123); this is its mesh equivalent, and the only
+    reliable way to run a Pallas scorer kernel on sharded inputs (GSPMD
+    cannot auto-partition a custom call, shard_map runs it per shard).
+    """
+    import numpy as np
+
+    feats = np.asarray(feats, np.float32)
+    N = feats.shape[0]
+    axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod([mesh.shape[a] for a in axes]))
+    n_pad = ((N + n_dev - 1) // n_dev) * n_dev
+    if n_pad != N:
+        feats = np.pad(feats, ((0, n_pad - N), (0, 0)))
+    sharding = NamedSharding(mesh, P(axes, None))
+    fd = jax.device_put(feats, sharding)
+    sm = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P(axes, None), P()),
+        out_specs=P(axes),
+    )
+    out = jax.jit(sm)(fd, model_tree)
+    return np.asarray(out)[:N]
+
 
 def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     """1-D mesh over the first ``num_devices`` devices (default: all)."""

@@ -179,3 +179,32 @@ def test_levelwise_2d_mesh_parity(small_splits):
     b = LambdaMart(ntrees=5, nleaves=16, nthresholds=32, seed=1, growth="level")
     i2 = b.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh_2d(2, 4))
     np.testing.assert_allclose(i1["train"], i2["train"], atol=1e-5)
+
+
+def test_mesh_batch_scoring_parity(small_splits):
+    """score_dataset(mesh=) — docs fanned out over every mesh axis with the
+    model replicated — must reproduce single-device scores exactly, for the
+    descent ensemble, the oblivious XLA scorer, and a 2-D training mesh
+    consumed as one flat doc axis (parallel/mesh.py::score_rows_sharded)."""
+    from quickrank_tpu.learning import ObliviousMart
+    from quickrank_tpu.parallel.mesh import make_mesh_2d
+
+    train, valid, test = small_splits
+    lm = LambdaMart(ntrees=8, nleaves=8, nthresholds=32, seed=1)
+    lm.learn(train, valid, Ndcg(10), verbose=False)
+    ref = lm.score_dataset(test)
+    np.testing.assert_allclose(
+        lm.score_dataset(test, mesh=make_mesh(4)), ref, rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        lm.score_dataset(test, mesh=make_mesh_2d(2, 4)), ref,
+        rtol=1e-6, atol=1e-6,
+    )
+
+    ob = ObliviousMart(ntrees=6, nleaves=8, nthresholds=32, seed=1)
+    ob.learn(train, valid, Ndcg(10), verbose=False)
+    ref_ob = ob.score_dataset(test)
+    np.testing.assert_allclose(
+        ob.score_dataset(test, mesh=make_mesh(8)), ref_ob,
+        rtol=1e-6, atol=1e-6,
+    )
