@@ -258,7 +258,15 @@ def run(params: dict) -> dict:
     # -- testing phase (driver.cc:326-385) -----------------------------------
     if test is not None:
         with phase_timer("test", sink=timings, verbose=False):
-            scores = algo.score_dataset(test)
+            import inspect
+
+            # fan test scoring over the mesh when the scorer supports it
+            if mesh is not None and "mesh" in inspect.signature(
+                algo.score_dataset
+            ).parameters:
+                scores = algo.score_dataset(test, mesh=mesh)
+            else:
+                scores = algo.score_dataset(test)
             padded = shard_and_pad(test)
             m = float(
                 test_metric.evaluate_dataset(

@@ -165,3 +165,23 @@ def test_select_platform_skips_probe_when_pinned(monkeypatch):
     monkeypatch.setattr(backend, "device_responsive", boom)
     assert backend.select_platform("auto") == "default"
     assert backend.select_platform("tpu") == "default"
+
+
+def test_cli_num_shards_matches_single_device(svml_dir, tmp_path, splits):
+    """--num-shards N: sharded training AND mesh-fanned test scoring through
+    the CLI must reproduce the single-device run (driver mesh threading)."""
+    from quickrank_tpu import driver
+
+    def run(extra):
+        return driver.run({
+            "train": str(svml_dir / "train.svml"),
+            "valid": str(svml_dir / "valid.svml"),
+            "test": str(svml_dir / "test.svml"),
+            "algo": "LAMBDAMART",
+            "num_trees": 5, "num_leaves": 4, "num_thresholds": 16,
+            "quiet": True, **extra,
+        })
+
+    r1 = run({})
+    r4 = run({"num_shards": 4})
+    assert abs(r1["test_metric"] - r4["test_metric"]) < 1e-3
