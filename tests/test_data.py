@@ -243,3 +243,46 @@ def test_native_writer_matches_python_and_roundtrips(tmp_path):
     r = read_svml(str(native))
     np.testing.assert_array_equal(np.asarray(r.features), ds.features)
     np.testing.assert_array_equal(np.asarray(r.labels), ds.labels)
+
+
+def test_svml_edge_cases_native_matches_numpy(tmp_path):
+    """Hostile-but-legal SVML: CRLF endings, blank lines, comment-only
+    lines, scientific-notation values, float labels, tabs, no trailing
+    newline, and a qid that REAPPEARS later (boundary semantics: a new
+    query starts whenever qid differs from the previous line, svml.cc:
+    38-161).  Both parsers must agree exactly."""
+    import pytest
+
+    from quickrank_tpu.data.svml import _read_numpy
+
+    path = os.path.join(tmp_path, "edge.txt")
+    content = (
+        "# leading comment line\r\n"
+        "1.5 qid:7 1:1e-3 3:-2.5E+2 # doc a\r\n"
+        "\r\n"
+        "0 qid:7\t2:0.125\n"
+        "2 qid:3 1:3 2:4 3:5\n"
+        "   \n"
+        "1 qid:7 3:1"  # qid 7 reappears -> NEW query; no trailing newline
+    )
+    with open(path, "wb") as f:
+        f.write(content.encode())
+
+    ref = _read_numpy(path)
+    assert ref.num_queries == 3  # 7, 3, 7 — boundary on change, not unique
+    assert ref.num_docs == 4
+    np.testing.assert_array_equal(ref.qids, [7, 3, 7])
+    np.testing.assert_allclose(ref.labels, [1.5, 0.0, 2.0, 1.0])
+    np.testing.assert_allclose(ref.features[0], [1e-3, 0.0, -2.5e2])
+    np.testing.assert_allclose(ref.features[3], [0.0, 0.0, 1.0])
+
+    try:
+        from quickrank_tpu.data import _svml_native
+
+        nat = _svml_native.read(path)
+    except Exception as e:  # pragma: no cover - toolchain missing
+        pytest.skip(f"native parser unavailable: {e}")
+    np.testing.assert_allclose(nat.features, ref.features, rtol=1e-6)
+    np.testing.assert_allclose(nat.labels, ref.labels)
+    np.testing.assert_array_equal(nat.query_offsets, ref.query_offsets)
+    np.testing.assert_array_equal(nat.qids, ref.qids)
