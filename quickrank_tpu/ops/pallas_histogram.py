@@ -69,7 +69,7 @@ def _kernel(binned_ref, chan_ref, out_ref, *, F, Bp, G, tile_n):
 
 def _node_kernel(
     binned_ref, vals_ref, out_ref, *, F, Bp, G, tile_n, n0, k, C,
-    onehot="repeat",
+    onehot="repeat", skip_empty=True,
 ):
     """Per-node packed histogram: node selection happens IN the kernel.
 
@@ -97,52 +97,72 @@ def _node_kernel(
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    v = vals_ref[:C, :]  # [C, TILE] f32, pre-masked
     p = vals_ref[C : C + 1, :]  # [1, TILE] node ids (exact f32)
-    blocks = [
-        v * (p == jnp.float32(n0 + i)).astype(jnp.float32) for i in range(k)
-    ]  # node-major channel blocks
-    ch_pad = out_ref.shape[0]
-    if ch_pad > k * C:
-        blocks.append(jnp.zeros((ch_pad - k * C, tile_n), jnp.float32))
-    packed = jnp.concatenate(blocks, axis=0)  # [ch_pad, TILE]
-    hi32 = packed.astype(jnp.bfloat16).astype(jnp.float32)
-    hi = hi32.astype(jnp.bfloat16)
-    lo = (packed - hi32).astype(jnp.bfloat16)
-    planes = jnp.concatenate([hi, lo], axis=0)  # [2*ch_pad, TILE]
+    in_range = (p >= jnp.float32(n0)) & (p <= jnp.float32(n0 + k - 1))
+    # data-dependent tile skip: a tile whose docs all belong to OTHER nodes
+    # would contribute exact zeros — skip its one-hot + matmul work
+    # entirely.  Fires when node membership is CLUSTERED in dataset order:
+    # dataset order is query-contiguous, so splits on query-correlated
+    # features (common in LTR) put whole queries on one side and leave
+    # long dead runs for the sibling's pass; scattered membership just
+    # pays this [1, TILE] reduction.  (Pad docs carry node id 0: they can
+    # only inhibit the skip, never corrupt a sum — their values are 0.)
+    def _accumulate():
+        v = vals_ref[:C, :]  # [C, TILE] f32, pre-masked
+        blocks = [
+            v * (p == jnp.float32(n0 + i)).astype(jnp.float32)
+            for i in range(k)
+        ]  # node-major channel blocks
+        ch_pad = out_ref.shape[0]
+        if ch_pad > k * C:
+            blocks.append(jnp.zeros((ch_pad - k * C, tile_n), jnp.float32))
+        packed = jnp.concatenate(blocks, axis=0)  # [ch_pad, TILE]
+        hi32 = packed.astype(jnp.bfloat16).astype(jnp.float32)
+        hi = hi32.astype(jnp.bfloat16)
+        lo = (packed - hi32).astype(jnp.bfloat16)
+        planes = jnp.concatenate([hi, lo], axis=0)  # [2*ch_pad, TILE]
 
-    if onehot == "bcast":
-        col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, Bp), 1)
-        for f in range(F):
-            fcol = binned_ref[:, f : f + 1].astype(jnp.int32)  # [TILE, 1]
-            oh = (fcol == col).astype(jnp.bfloat16)
+        if onehot == "bcast":
+            col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, Bp), 1)
+            for f in range(F):
+                fcol = binned_ref[:, f : f + 1].astype(jnp.int32)  # [TILE, 1]
+                oh = (fcol == col).astype(jnp.bfloat16)
+                part = jax.lax.dot_general(
+                    planes, oh,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [2*ch_pad, Bp]
+                out_ref[:, f * Bp : (f + 1) * Bp] += (
+                    part[:ch_pad] + part[ch_pad:]
+                )
+            return
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, G * Bp), 1)
+        bin_of_col = col // G
+        for g0 in range(0, F, G):
+            chunk = binned_ref[:, g0 : g0 + G].astype(jnp.int32)
+            rep = pltpu.repeat(chunk, Bp, axis=1)
+            oh = (rep == bin_of_col).astype(jnp.bfloat16)
             part = jax.lax.dot_general(
                 planes, oh,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [2*ch_pad, Bp]
-            out_ref[:, f * Bp : (f + 1) * Bp] += part[:ch_pad] + part[ch_pad:]
-        return
+            )  # [2*ch_pad, G*Bp]
+            out_ref[:, g0 * Bp : g0 * Bp + G * Bp] += (
+                part[:ch_pad] + part[ch_pad:]
+            )
 
-    col = jax.lax.broadcasted_iota(jnp.int32, (tile_n, G * Bp), 1)
-    bin_of_col = col // G
-    for g0 in range(0, F, G):
-        chunk = binned_ref[:, g0 : g0 + G].astype(jnp.int32)
-        rep = pltpu.repeat(chunk, Bp, axis=1)
-        oh = (rep == bin_of_col).astype(jnp.bfloat16)
-        part = jax.lax.dot_general(
-            planes, oh,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [2*ch_pad, G*Bp]
-        out_ref[:, g0 * Bp : g0 * Bp + G * Bp] += (
-            part[:ch_pad] + part[ch_pad:]
-        )
+    if skip_empty:
+        pl.when(jnp.sum(in_range.astype(jnp.float32)) > 0.0)(_accumulate)
+    else:
+        _accumulate()
 
 
 @partial(
     jax.jit,
-    static_argnames=("num_bins", "n0", "k", "tile_n", "feat_group", "onehot"),
+    static_argnames=(
+        "num_bins", "n0", "k", "tile_n", "feat_group", "onehot", "skip_empty",
+    ),
 )
 def node_histogram_pallas(
     binned: jnp.ndarray,
@@ -154,6 +174,7 @@ def node_histogram_pallas(
     tile_n: int = 1024,
     feat_group: int = 16,
     onehot: str = "repeat",
+    skip_empty: bool = True,
 ) -> jnp.ndarray:
     """hist[f, b, i*C + c] = sum_{n: pos[n] == n0+i} values_t[c, n]
     [binned[n, f] == b]  ->  [F, B, k*C].
@@ -185,7 +206,7 @@ def node_histogram_pallas(
     out = pl.pallas_call(
         partial(
             _node_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n, n0=n0, k=k, C=C,
-            onehot=onehot,
+            onehot=onehot, skip_empty=skip_empty,
         ),
         out_shape=jax.ShapeDtypeStruct((ch_pad, Fp * Bp), jnp.float32),
         grid=(n_pad // tile_n,),

@@ -85,6 +85,35 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"bcast    tile={tile_n:4d}        FAIL {type(e).__name__}: {e}"[:140])
 
+    # data-dependent tile skip (skip_empty): measure (a) Mosaic compiles it,
+    # (b) its overhead when every tile is live, (c) its win when in-range
+    # docs are CLUSTERED (1/8 contiguous block — splits on query-correlated
+    # features produce query-contiguous node runs), and (d) that scattered
+    # membership is a no-op, not a loss (no tile is ever empty then).
+    pos_clustered = jnp.asarray(
+        np.where(np.arange(N) < N // 8, 0, K_NODES + 3).astype(np.int32)
+    )
+    pos_scattered = jnp.asarray(
+        np.where(
+            np.random.default_rng(1).uniform(size=N) < 0.125, 0, K_NODES + 3
+        ).astype(np.int32)
+    )
+    for label, p_, skip in (
+        ("all-live   skip=1", pos, True),
+        ("all-live   skip=0", pos, False),
+        ("1/8-clust  skip=1", pos_clustered, True),
+        ("1/8-clust  skip=0", pos_clustered, False),
+        ("1/8-scatt  skip=1", pos_scattered, True),
+    ):
+        try:
+            f = lambda b, v, pp: node_histogram_pallas(
+                b, v, pp, B, 0, K_NODES, tile_n=1024, skip_empty=skip
+            )
+            dt = timeit(f, binned, vt, p_)
+            print(f"skiptest {label}  {dt*1e3:8.2f} ms")
+        except Exception as e:  # noqa: BLE001
+            print(f"skiptest {label}  FAIL {type(e).__name__}: {e}"[:140])
+
 
 if __name__ == "__main__":
     main()
