@@ -183,9 +183,11 @@ def main():
     # backend touched — build_model uses numpy only)
     baseline = measure_c_baseline()
 
+    degraded = False
     if not _device_responsive():
         log("# default device unresponsive (wedged tunnel?) — falling back "
             "to CPU so the bench still reports")
+        degraded = True
         os.environ["XLA_FLAGS"] = (
             os.environ.get("XLA_FLAGS", "")
             + " --xla_force_host_platform_device_count=1"
@@ -203,6 +205,10 @@ def main():
         extra = bench_training(on_tpu)
     extra["c_baseline_docs_per_sec"] = baseline
     extra["device"] = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
+    if degraded:
+        # NOT a perf datapoint: the TPU tunnel was unresponsive and the
+        # numbers above are a 1-CPU-core fallback (see r01 for chip values)
+        extra["degraded"] = "tpu tunnel unresponsive; CPU fallback numbers"
 
     print(
         json.dumps(
