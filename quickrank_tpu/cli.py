@@ -144,8 +144,17 @@ def main(argv=None) -> int:
     from quickrank_tpu.utils.backend import select_platform
 
     # resolve the backend BEFORE the driver touches any device: a wedged
-    # TPU tunnel otherwise hangs the whole run with no diagnostics
-    select_platform(params.pop("platform", "auto"), log=print)
+    # TPU tunnel otherwise hangs the whole run with no diagnostics.
+    # Codegen-only invocations (--model-file/--code-file, no datasets)
+    # never execute on a device — skip the probe entirely for those.
+    platform = params.pop("platform", "auto")
+    needs_device = any(params.get(k) for k in ("train", "valid", "test"))
+    if needs_device or platform != "auto":
+        select_platform(
+            platform,
+            log=None if params.get("quiet") else print,
+            num_devices=max(1, int(params.get("num_shards") or 1)),
+        )
     from quickrank_tpu import driver
 
     banner = (

@@ -47,6 +47,8 @@ def _model_num_features(model) -> int:
         w = np.asarray(model.get_weights())
         return int(w.shape[0])
     if _is_rankboost(model):
+        if model.features_ is None:
+            raise RuntimeError("RANKBOOST: no trained model to export")
         return int(np.asarray(model.features_).max()) + 1
     ens = model._require_model()
     feat = np.asarray(ens.feature)[: int(ens.num_trees)]
@@ -112,8 +114,16 @@ def export_scorer(
     import jax.numpy as jnp
     from jax import export as jexport
 
+    F_min = _model_num_features(model)  # also raises on untrained models
     fn = _scorer_fn(model)
-    F = int(num_features) if num_features else _model_num_features(model)
+    F = int(num_features) if num_features else F_min
+    if F < F_min:
+        # under jit, out-of-bounds feature gathers would CLAMP, not raise —
+        # the artifact would return plausible wrong scores; fail loudly now
+        raise ValueError(
+            f"num_features={F} is narrower than the model's max used "
+            f"feature id ({F_min - 1}); scores would be silently wrong"
+        )
     if batch is None:
         b = jexport.symbolic_shape("b")[0]
     else:

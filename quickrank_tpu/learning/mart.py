@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional
 
 import numpy as np
@@ -178,6 +178,18 @@ class TrainData:
     @property
     def num_bins(self) -> int:
         return int(self.step.thresholds.shape[1])
+
+
+@lru_cache(maxsize=None)
+def _descent_scorer(md):
+    """Stable function object per max_depth for score_rows_sharded's
+    (fn, mesh) memoization — a fresh lambda per call would recompile the
+    ensemble scorer on every mesh scoring call."""
+
+    def fn(f, e):
+        return score_ensemble(f, e, max_depth=md)
+
+    return fn
 
 
 class Mart(LTRAlgorithm):
@@ -794,8 +806,7 @@ class Mart(LTRAlgorithm):
             from quickrank_tpu.parallel.mesh import score_rows_sharded
 
             return score_rows_sharded(
-                lambda f, e: score_ensemble(f, e, max_depth=md), feats, ens,
-                mesh,
+                _descent_scorer(md), feats, ens, mesh
             )
         return np.asarray(
             score_ensemble(jnp.asarray(feats), ens, max_depth=md)

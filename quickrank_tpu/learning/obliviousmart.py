@@ -11,6 +11,8 @@ traversal-free bit-OR scorer (ops/oblivious.py) — the quickscore path.
 
 from __future__ import annotations
 
+from functools import lru_cache as _lru_cache
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -22,6 +24,17 @@ from quickrank_tpu.trees.oblivious import (
     fit_oblivious_tree,
     oblivious_to_tree,
 )
+
+
+@_lru_cache(maxsize=None)
+def _oblivious_scorer(tree_chunk):
+    """Stable function object per chunk size for score_rows_sharded's
+    (fn, mesh) memoization (see mart._descent_scorer)."""
+
+    def fn(f, e):
+        return score_oblivious(f, e, tree_chunk=tree_chunk)
+
+    return fn
 
 
 class _ObliviousFit:
@@ -148,8 +161,7 @@ class _ObliviousFit:
             from quickrank_tpu.parallel.mesh import score_rows_sharded
 
             return score_rows_sharded(
-                lambda f, e: score_oblivious(f, e, tree_chunk=tree_chunk),
-                feats, obl, mesh,
+                _oblivious_scorer(tree_chunk), feats, obl, mesh
             )
         return np.asarray(
             score_oblivious(jnp.asarray(feats), obl, tree_chunk=tree_chunk)

@@ -198,7 +198,9 @@ def node_histogram_pallas(
     )
     if n_pad != N:
         binned = jnp.pad(binned, ((0, n_pad - N), (0, 0)))
-        # pad docs select node n0 but carry zero channel values — harmless
+        # pad docs carry node id 0 (zero-padded pos row): they select node
+        # n0 only when n0 == 0, and always with zero channel values — they
+        # can inhibit the skip_empty tile skip but never perturb a sum
         vals = jnp.pad(vals, ((0, 0), (0, n_pad - N)))
     if Fp != F:
         binned = jnp.pad(binned, ((0, 0), (0, Fp - F)))

@@ -50,6 +50,10 @@ def score_rows_sharded(fn, feats, model_tree, mesh: Mesh):
     (ensemble.cc:96-123); this is its mesh equivalent, and the only
     reliable way to run a Pallas scorer kernel on sharded inputs (GSPMD
     cannot auto-partition a custom call, shard_map runs it per shard).
+
+    The jitted wrapper is memoized on ``(fn, mesh)`` — callers must pass a
+    STABLE function object (not a fresh lambda per call) or every scoring
+    call retraces and recompiles the full ensemble scorer.
     """
     import numpy as np
 
@@ -62,19 +66,38 @@ def score_rows_sharded(fn, feats, model_tree, mesh: Mesh):
         feats = np.pad(feats, ((0, n_pad - N), (0, 0)))
     sharding = NamedSharding(mesh, P(axes, None))
     fd = jax.device_put(feats, sharding)
-    sm = shard_map(
-        fn, mesh=mesh,
-        in_specs=(P(axes, None), P()),
-        out_specs=P(axes),
-    )
-    out = jax.jit(sm)(fd, model_tree)
+    key = (fn, mesh)
+    jitted = _SCORE_SM_CACHE.get(key)
+    if jitted is None:
+        jitted = jax.jit(
+            shard_map(
+                fn, mesh=mesh,
+                in_specs=(P(axes, None), P()),
+                out_specs=P(axes),
+            )
+        )
+        _SCORE_SM_CACHE[key] = jitted
+    out = jitted(fd, model_tree)
     return np.asarray(out)[:N]
+
+
+#: (fn, mesh) -> jitted shard_map wrapper; jax.jit then caches per
+#: input shape/dtype under each wrapper as usual
+_SCORE_SM_CACHE: dict = {}
 
 
 def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     """1-D mesh over the first ``num_devices`` devices (default: all)."""
     devs = jax.devices()
     if num_devices is not None:
+        if len(devs) < num_devices:
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devs)} device(s) are visible "
+                f"({[str(d) for d in devs]}); on CPU set "
+                "--xla_force_host_platform_device_count (the CLI's "
+                "--platform cpu does this from --num-shards)"
+            )
         devs = devs[:num_devices]
     return Mesh(devs, (axis,))
 

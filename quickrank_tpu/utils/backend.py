@@ -45,7 +45,10 @@ def force_cpu(num_devices: int = 1) -> None:
 
 
 def select_platform(
-    platform: str = "auto", probe_timeout_s: int = 150, log=None
+    platform: str = "auto",
+    probe_timeout_s: int = 150,
+    log=None,
+    num_devices: int = 1,
 ) -> str:
     """Resolve a ``--platform`` choice before any device use.
 
@@ -53,10 +56,12 @@ def select_platform(
     ``tpu``  — trust the default backend (no probe, may hang if wedged).
     ``auto`` — probe the default backend in a subprocess; fall back to CPU
                with a warning when it is unresponsive.
+    ``num_devices`` — virtual CPU device count for the cpu/fallback paths,
+    so a requested ``--num-shards N`` mesh still exists off-TPU.
     Returns the platform actually selected ("default" = untouched).
     """
     if platform == "cpu":
-        force_cpu()
+        force_cpu(num_devices)
         return "cpu"
     if platform == "tpu":
         return "default"
@@ -73,6 +78,6 @@ def select_platform(
                 "# default device unresponsive (wedged tunnel?) — "
                 "falling back to CPU"
             )
-        force_cpu()
+        force_cpu(num_devices)
         return "cpu"
     return "default"
