@@ -115,3 +115,20 @@ def test_exported_artifact_needs_only_jax(trained_mart, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "SERVE-OK" in r.stdout
+
+
+def test_export_rejects_too_narrow_num_features(trained_mart):
+    """A num_features below the model's max used feature id must raise —
+    under jit the OOB gathers would clamp and return wrong scores."""
+    F = _model_num_features(trained_mart)
+    if F < 2:
+        pytest.skip("model uses only feature 0")
+    with pytest.raises(ValueError, match="narrower"):
+        export_scorer(trained_mart, num_features=F - 1)
+
+
+def test_export_untrained_rankboost_raises_cleanly():
+    from quickrank_tpu.learning.rankboost import RankBoost
+
+    with pytest.raises(RuntimeError, match="no trained model"):
+        export_scorer(RankBoost())

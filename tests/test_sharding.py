@@ -208,3 +208,10 @@ def test_mesh_batch_scoring_parity(small_splits):
         ob.score_dataset(test, mesh=make_mesh(8)), ref_ob,
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_make_mesh_rejects_oversized_request():
+    """Requesting more mesh devices than visible must fail loudly, not
+    silently truncate to fewer shards than the user asked for."""
+    with pytest.raises(ValueError, match="device"):
+        make_mesh(len(jax.devices()) + 1)
