@@ -40,6 +40,13 @@ def _is_rankboost(model) -> bool:
     return isinstance(model, RankBoost)
 
 
+def _unwrap(model):
+    """MetaCleaver delegates scoring to its inner ranker — export that."""
+    from quickrank_tpu.learning.meta import MetaCleaver
+
+    return model.ltr_algo if isinstance(model, MetaCleaver) else model
+
+
 def _model_num_features(model) -> int:
     """Smallest feature-vector width the model can score (max used global
     feature id + 1)."""
@@ -114,6 +121,7 @@ def export_scorer(
     import jax.numpy as jnp
     from jax import export as jexport
 
+    model = _unwrap(model)
     F_min = _model_num_features(model)  # also raises on untrained models
     fn = _scorer_fn(model)
     F = int(num_features) if num_features else F_min
