@@ -832,6 +832,28 @@ class Mart(LTRAlgorithm):
         self._pe_cache = (ens, pe)
         return pe
 
+    def feature_importances(
+        self, num_features: Optional[int] = None, normalize: bool = True
+    ) -> np.ndarray:
+        """Split-count feature importances over the live trees: how many
+        internal nodes split on each (global) feature id.  Returns f64
+        ``[num_features]`` (width defaults to max used id + 1), normalized
+        to sum to 1 unless ``normalize=False``.  Beyond reference parity —
+        the dense SoA ensemble makes this a bincount."""
+        ens = self._require_model()
+        T = int(ens.num_trees)
+        feat = np.asarray(ens.feature[:T])
+        internal = ~np.asarray(ens.is_leaf[:T])
+        used = feat[internal]
+        used = used[used >= 0]
+        width = int(num_features) if num_features else (
+            int(used.max()) + 1 if used.size else 0
+        )
+        imp = np.bincount(used, minlength=width).astype(np.float64)[:width]
+        if normalize and imp.sum() > 0:
+            imp /= imp.sum()
+        return imp
+
     def partial_scores_dataset(self, ds: Dataset) -> np.ndarray:
         ens = self._require_model()
         feats = jnp.asarray(ds.features)

