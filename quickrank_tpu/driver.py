@@ -9,6 +9,7 @@ and generate standalone scoring code.
 
 from __future__ import annotations
 
+import inspect
 import sys
 import time
 from typing import Optional
@@ -167,8 +168,6 @@ def run(params: dict) -> dict:
 
     # -- training phase (driver.cc:228-246) ----------------------------------
     if train is not None and not p.get("skip_train", False):
-        import inspect
-
         # Optional kwargs are gated on each learner's signature: quicklearn
         # drives every algorithm through the same flag surface
         # (driver.cc:45-226), but e.g. the linear rankers have no partial
@@ -258,8 +257,6 @@ def run(params: dict) -> dict:
     # -- testing phase (driver.cc:326-385) -----------------------------------
     if test is not None:
         with phase_timer("test", sink=timings, verbose=False):
-            import inspect
-
             # fan test scoring over the mesh when the scorer supports it
             if mesh is not None and "mesh" in inspect.signature(
                 algo.score_dataset

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -39,6 +40,11 @@ except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
 
 
+#: (fn, mesh) -> jitted shard_map wrapper; jax.jit then caches per
+#: input shape/dtype under each wrapper as usual
+_SCORE_SM_CACHE: dict = {}
+
+
 def score_rows_sharded(fn, feats, model_tree, mesh: Mesh):
     """Data-parallel batch scoring: shard the doc rows of ``feats`` over
     EVERY axis of ``mesh`` (inference has no cross-doc coupling, so a 2-D
@@ -55,8 +61,6 @@ def score_rows_sharded(fn, feats, model_tree, mesh: Mesh):
     STABLE function object (not a fresh lambda per call) or every scoring
     call retraces and recompiles the full ensemble scorer.
     """
-    import numpy as np
-
     feats = np.asarray(feats, np.float32)
     N = feats.shape[0]
     axes = tuple(mesh.axis_names)
@@ -79,11 +83,6 @@ def score_rows_sharded(fn, feats, model_tree, mesh: Mesh):
         _SCORE_SM_CACHE[key] = jitted
     out = jitted(fd, model_tree)
     return np.asarray(out)[:N]
-
-
-#: (fn, mesh) -> jitted shard_map wrapper; jax.jit then caches per
-#: input shape/dtype under each wrapper as usual
-_SCORE_SM_CACHE: dict = {}
 
 
 def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
@@ -110,7 +109,6 @@ def make_mesh_2d(
     """2-D mesh: queries sharded over ``data``, the feature axis of the
     histogram/split scan over ``feat`` (mirrors the per-feature OpenMP loop
     of rt.cc:257-292 as a second mesh dimension)."""
-    import numpy as np
 
     devs = np.asarray(jax.devices()[: data * feat]).reshape(data, feat)
     return Mesh(devs, axes)
