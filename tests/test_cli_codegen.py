@@ -107,6 +107,64 @@ def test_vpred_format(splits):
     assert txt.count("end\n") + txt.strip().endswith("end") >= 3
 
 
+def _vpred_reconstruct_and_score(txt: str, X: np.ndarray) -> np.ndarray:
+    """Rebuild each tree from the vpred node list via its (nid, pid,
+    is_left) links and descend docs with the x[f] <= thr convention.  A
+    'node' line is a leaf iff it never appears as a parent (internal lines
+    carry feature+threshold, leaf lines carry parent-feature+value —
+    generate_vpred.cc:127-146)."""
+    lines = txt.strip().split("\n")
+    ntrees = int(lines[0])
+    pos = 1
+    total = np.zeros(X.shape[0])
+    for _ in range(ntrees):
+        pos += 1  # depth line
+        nodes = {}  # nid -> fields
+        children = {}  # pid -> {is_left: nid}
+        while lines[pos] != "end":
+            f = lines[pos].split()
+            pos += 1
+            if f[0] == "root":
+                nodes[0] = f
+            else:
+                nid, pid, is_left = int(f[1]), int(f[2]), None
+                if f[0] == "leaf":
+                    is_left = bool(int(f[3]))
+                else:  # node nid pid x is_left y
+                    is_left = bool(int(f[4]))
+                nodes[nid] = f
+                children.setdefault(pid, {})[is_left] = nid
+        pos += 1  # consume 'end'
+
+        def leaf_value(nid):
+            return float(nodes[nid][-1])
+
+        for i in range(X.shape[0]):
+            nid = 0
+            while nid in children:
+                feat = int(nodes[nid][2]) if nodes[nid][0] == "root" else int(
+                    nodes[nid][3]
+                )
+                thr = float(nodes[nid][-1])
+                nid = children[nid][bool(X[i, feat] <= thr)]
+            total[i] += leaf_value(nid)
+    return total
+
+
+def test_vpred_encodes_the_model_function(tmp_path, splits):
+    """Semantic check: the emitted vpred node list must encode the SAME
+    function as the model — reconstructed-tree scores equal
+    score_dataset (leaf values are pre-scaled by the learning rate)."""
+    train, valid, test = splits
+    lm = LambdaMart(ntrees=5, nleaves=8, nthresholds=32, seed=1)
+    lm.learn(train, valid, Ndcg(10), verbose=False)
+    txt = codegen.generate_vpred(lm)
+    X = test.features[:64].astype(np.float64)
+    got = _vpred_reconstruct_and_score(txt, X)
+    want = lm.score_dataset(test)[:64]
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-5)
+
+
 def test_quickscore_cli(cli_run):
     from quickrank_tpu.quickscore import main as qs
 
