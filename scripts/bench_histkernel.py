@@ -114,6 +114,23 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"skiptest {label}  FAIL {type(e).__name__}: {e}"[:140])
 
+    # best-first shape: one split pass = k=1 mask-as-node, C=3 channels
+    # (count, grad, grad^2) — the masked_histogram_t path (trees/grow.py)
+    rng = np.random.default_rng(2)
+    vt3 = jnp.asarray(rng.standard_normal((3, N)).astype(np.float32))
+    pos_bf = jnp.asarray(
+        (rng.uniform(size=N) < 0.5).astype(np.int32) ^ 1
+    )  # ~half the docs in the split leaf, scattered
+    for tile_n in (512, 1024, 2048):
+        try:
+            f = lambda b, v, pp: node_histogram_pallas(
+                b, v, pp, B, 0, 1, tile_n=tile_n
+            )
+            dt = timeit(f, binned, vt3, pos_bf)
+            print(f"bestfirst k=1 C=3 tile={tile_n:4d}  {dt*1e3:8.2f} ms")
+        except Exception as e:  # noqa: BLE001
+            print(f"bestfirst k=1 C=3 tile={tile_n:4d}  FAIL {type(e).__name__}: {e}"[:140])
+
 
 if __name__ == "__main__":
     main()
