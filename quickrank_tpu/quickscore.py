@@ -29,11 +29,15 @@ def main(argv=None) -> int:
                    choices=["auto", "cpu", "tpu"],
                    help="device backend; auto falls back to CPU when the "
                         "TPU tunnel is unresponsive")
+    p.add_argument("--num-shards", type=int, default=0,
+                   help="fan doc rows over this many devices (0 = single)")
     args = p.parse_args(argv)
 
     from quickrank_tpu.utils.backend import select_platform
 
-    select_platform(args.platform, log=print)
+    select_platform(
+        args.platform, log=print, num_devices=max(1, args.num_shards)
+    )
     from quickrank_tpu.data.svml import read_svml
     from quickrank_tpu.learning.base import LTRAlgorithm
 
@@ -48,10 +52,20 @@ def main(argv=None) -> int:
         f"{ds.num_docs // max(ds.num_queries, 1)}"
     )
 
-    scores = model.score_dataset(ds)  # warm-up (includes jit compile)
+    import inspect
+
+    kw = {}
+    if args.num_shards and "mesh" in inspect.signature(
+        model.score_dataset
+    ).parameters:
+        from quickrank_tpu.parallel import make_mesh
+
+        kw["mesh"] = make_mesh(args.num_shards)
+
+    scores = model.score_dataset(ds, **kw)  # warm-up (includes jit compile)
     t0 = time.perf_counter()
     for _ in range(args.rounds):
-        scores = model.score_dataset(ds)
+        scores = model.score_dataset(ds, **kw)
     jax.block_until_ready(scores) if hasattr(scores, "block_until_ready") else None
     total = time.perf_counter() - t0
     per_dataset = total / args.rounds

@@ -175,6 +175,25 @@ def test_quickscore_cli(cli_run):
     assert rc == 0
 
 
+def test_quickscore_cli_num_shards(cli_run, tmp_path):
+    """--num-shards fans scoring over a device mesh; scores must match the
+    single-device run exactly."""
+    from quickrank_tpu.quickscore import main as qs
+
+    s1 = tmp_path / "s1.txt"
+    s4 = tmp_path / "s4.txt"
+    for out, extra in ((s1, []), (s4, ["--num-shards", "4"])):
+        rc = qs([
+            "-d", str(cli_run / "test.svml"),
+            "-m", str(cli_run / "model.xml"),
+            "-r", "1", "-s", str(out),
+        ] + extra)
+        assert rc == 0
+    np.testing.assert_allclose(
+        np.loadtxt(s1), np.loadtxt(s4), rtol=1e-6, atol=1e-6
+    )
+
+
 def test_cli_detailed_and_scores_outputs(tmp_path, splits):
     """--scores and --detailed (per-tree SVML, driver.cc:336-360) outputs."""
     from quickrank_tpu.cli import main
