@@ -67,11 +67,17 @@ def select_platform(
         return "default"
     import jax
 
-    # an explicit in-process platform pin (e.g. tests/conftest.py forcing
-    # cpu) is a caller decision — don't probe: the subprocess would still
-    # target the default (possibly wedged) backend and stall every run
-    if getattr(jax.config, "jax_platforms", None):
-        return "default"
+    # a HOST-only platform pin (e.g. tests/conftest.py forcing cpu) is a
+    # caller decision — don't probe: the subprocess would still target
+    # the default (possibly wedged) backend and stall every run.  But
+    # only a host pin counts: this image exports JAX_PLATFORMS=axon
+    # globally, so a truthy jax_platforms naming the tunnel backend is
+    # the DEFAULT, exactly what auto must probe.
+    cfg = getattr(jax.config, "jax_platforms", None)
+    if cfg:
+        plats = {s.strip().lower() for s in str(cfg).split(",") if s.strip()}
+        if plats <= {"cpu"}:
+            return "default"
     if not device_responsive(probe_timeout_s):
         if log is not None:
             log(
