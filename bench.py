@@ -97,13 +97,18 @@ def bench_scoring(on_tpu: bool) -> float:
 
     acc = jnp.zeros((N,), jnp.float32)
     acc = run(acc, feats, ens)
-    acc.block_until_ready()  # compile + warm
+    # Sync via a scalar fetch through a data dependency: on the axon tunnel
+    # block_until_ready() on a jitted output can return before execution
+    # finishes (CLAUDE.md timing gotcha), which once inflated this number
+    # ~140x (2.4B "docs/s" = dispatch cost, not execution).
+    float(acc[0])  # compile + warm + real sync
     t0 = time.perf_counter()
     rounds = 10
     for _ in range(rounds):
         acc = run(acc, feats, ens)
-    acc.block_until_ready()
+    s = float(acc[0])
     dt = (time.perf_counter() - t0) / rounds
+    assert np.isfinite(s)
     docs_per_sec = N / dt
     log(
         f"# scored {N} docs x {T} trees in {dt * 1e3:.2f} ms/round "
