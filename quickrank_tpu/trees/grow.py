@@ -398,7 +398,14 @@ def segment_sums(index: jnp.ndarray, values: jnp.ndarray, num_slots: int):
     if _on_tpu():
         from quickrank_tpu.ops.pallas_histogram import histogram_pallas
 
-        h = histogram_pallas(index[:, None].astype(jnp.int32), values, num_slots)
+        # Pin feat_group=16: there is ONE feature column here, so the
+        # sweep-tuned default (32, for 136+-feature histogram passes) would
+        # just double this call's dead one-hot padding.  G=1 is NOT usable:
+        # Mosaic scoped-vmem OOMs on the 1-lane block layout (57 MB stack
+        # alloc for a [N,1] operand, observed on v5e 2026-08-19).
+        h = histogram_pallas(
+            index[:, None].astype(jnp.int32), values, num_slots, feat_group=16
+        )
         return h[0]  # [num_slots, C]
     C = values.shape[-1]
     out = jnp.zeros((num_slots, C), jnp.float32)
