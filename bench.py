@@ -108,7 +108,8 @@ def bench_scoring(on_tpu: bool) -> float:
         acc = run(acc, feats, ens)
     s = float(acc[0])
     dt = (time.perf_counter() - t0) / rounds
-    assert np.isfinite(s)
+    if not np.isfinite(s):  # explicit: must survive python -O (no assert)
+        raise RuntimeError(f"scoring bench produced non-finite sum {s}")
     docs_per_sec = N / dt
     log(
         f"# scored {N} docs x {T} trees in {dt * 1e3:.2f} ms/round "

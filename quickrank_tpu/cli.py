@@ -39,6 +39,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("--num-shards", type=int, default=0,
                    help="shard queries over this many devices (0 = single)")
+    g.add_argument("--num-feat-shards", type=int, default=0,
+                   help="also shard the histogram/split-scan feature axis "
+                        "over this many devices (2-D data x feature mesh; "
+                        "total devices = num-shards x num-feat-shards; see "
+                        "PARITY.md known exclusions for unsupported "
+                        "algorithm combinations)")
     g.add_argument("--platform", default="auto",
                    choices=["auto", "cpu", "tpu"],
                    help="device backend: auto probes the default device in a "
@@ -153,7 +159,8 @@ def main(argv=None) -> int:
         select_platform(
             platform,
             log=None if params.get("quiet") else print,
-            num_devices=max(1, int(params.get("num_shards") or 1)),
+            num_devices=max(1, int(params.get("num_shards") or 1))
+            * max(1, int(params.get("num_feat_shards") or 1)),
         )
     from quickrank_tpu import driver
 

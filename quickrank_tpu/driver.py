@@ -161,7 +161,34 @@ def run(params: dict) -> dict:
 
     # -- device mesh (shared by training + optimization) ----------------------
     mesh = None
-    if p.get("num_shards", 0):
+    nfs = int(p.get("num_feat_shards", 0) or 0)
+    if nfs > 1:
+        # 2-D (data x feature) mesh: validate excluded combinations up
+        # front with actionable messages (quicklearn rejects bad flag
+        # combinations at parse time, src/quicklearn.cc:142-504); the
+        # matrix lives in PARITY.md "known exclusions".
+        algo_name = str(p.get("algo", "LAMBDAMART")).upper()
+        no_2d = ("DART", "RANKBOOST", "COORDASC", "LINESEARCH")
+        if algo_name in no_2d:
+            raise SystemExit(
+                f"--num-feat-shards: {algo_name} supports 1-D (data) "
+                "meshes only (PARITY.md known exclusions)"
+            )
+        if p.get("restart_train"):
+            raise SystemExit(
+                "--num-feat-shards with --restart-train is not supported "
+                "(warm starts need feature-replicated descent; PARITY.md "
+                "known exclusions)"
+            )
+        if float(p.get("collapse_leaves_factor", 0) or 0) > 0:
+            raise SystemExit(
+                "--num-feat-shards with --collapse-leaves-factor is not "
+                "supported (PARITY.md known exclusions)"
+            )
+        from quickrank_tpu.parallel import make_mesh_2d
+
+        mesh = make_mesh_2d(max(1, int(p.get("num_shards") or 1)), nfs)
+    elif p.get("num_shards", 0):
         from quickrank_tpu.parallel import make_mesh
 
         mesh = make_mesh(int(p["num_shards"]))

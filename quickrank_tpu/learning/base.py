@@ -48,6 +48,16 @@ class LTRAlgorithm:
         (Ensemble::update_ensemble_weights, ensemble.cc:149-192)."""
         raise NotImplementedError
 
+    def import_model_state(self, other: "LTRAlgorithm") -> None:
+        """Move ``other``'s trained state into this fresh learner for a
+        --restart-train resume (``LTR_Algorithm::import_model_state``).  The
+        base refuses, like the reference's default-false virtual; compatible
+        families override (Mart checks hyperparameters, mart.cc:493-517)."""
+        raise ValueError(
+            f"restart-train: {self.NAME} cannot import model state from "
+            f"{other.NAME}"
+        )
+
     def evaluate(self, ds: Dataset, metric: Metric) -> float:
         from quickrank_tpu.data.dataset import pack_doc_values, shard_and_pad
 

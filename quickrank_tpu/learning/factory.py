@@ -129,20 +129,12 @@ def ltr_algorithm_factory(
 
     if restart_train and model_in is not None:
         loaded = LTRAlgorithm.load(model_in)
-        # import_model_state: move the loaded model state into the fresh algo
-        # (hyperparameter compatibility is the caller's responsibility here,
-        # mirroring mart.cc:493-517's checks at a coarser grain).  Linear
-        # rankers import their weight vector (line_search.cc:429-443 is the
-        # same import path Cleaver uses).
-        if hasattr(loaded, "ensemble") and hasattr(out, "ensemble"):
-            out.ensemble = loaded.ensemble
-        elif (
-            getattr(loaded, "best_weights", None) is not None
-            and hasattr(out, "best_weights")
-        ):
-            out.best_weights = loaded.best_weights
-        else:
-            raise ValueError("restart-train: incompatible model types")
+        # Hyperparameter + type compatibility is checked by the target
+        # algorithm itself (Mart verifies shrinkage/nleaves/nthresholds/
+        # minleafsupport/esr, mart.cc:493-517; the factory refuses exactly
+        # like ltr_algorithm_factory.cc:250-258) — host-side, before any
+        # device work.
+        out.import_model_state(loaded)
     return out
 
 

@@ -63,8 +63,8 @@ class LambdaMart(Mart):
         )
         return lw[..., 0], lw[..., 1]
 
-    def _make_step(self, tr, va, metric, mesh):
+    def _make_step(self, tr, va, metric, mesh, block_k=1):
         # The lambda kernel needs the training metric's delta matrix
         # (lambdamart.cc:110 uses the *training* scorer's jacobian).
         self._train_metric = metric
-        return super()._make_step(tr, va, metric, mesh)
+        return super()._make_step(tr, va, metric, mesh, block_k=block_k)

@@ -127,6 +127,18 @@ class _LinearRanker(LTRAlgorithm):
     def reset_weights(self) -> None:
         self.best_weights = None
 
+    def import_model_state(self, other) -> None:
+        """Adopt a loaded linear model's weight vector for a resume (the
+        same import path Cleaver uses, line_search.cc:429-443)."""
+        if not isinstance(other, _LinearRanker) or getattr(
+            other, "best_weights", None
+        ) is None:
+            raise ValueError(
+                f"restart-train: {self.NAME} cannot import model state from "
+                f"{other.NAME}"
+            )
+        self.best_weights = np.asarray(other.best_weights, np.float64).copy()
+
     @staticmethod
     def _prepare(ds: Dataset, mesh=None, axis=None):
         num_shards = int(mesh.shape[axis]) if mesh is not None else 1

@@ -130,14 +130,15 @@ class TrainData:
             thresholds = np.asarray(thresholds)
         binned = apply_bins(np.asarray(padded.features), thresholds)
         # Pad the feature axis so each (per-shard) block is a multiple of
-        # the histogram kernel's feature group (16) — otherwise every
-        # histogram call pads the multi-hundred-MB binned tensor on device
-        # (~4 ms x 4 passes/iteration at MSLR scale).  Pad features bin
-        # every doc to 0 and carry +inf thresholds, so any split on them
-        # sends everything left (rcount=0 -> never chosen).
+        # the histogram kernel's feature group (G=32 since the 2026-08-19
+        # sweep) — otherwise every histogram call pads the multi-hundred-MB
+        # binned tensor on device (~4 ms x 4 passes/iteration at MSLR
+        # scale).  Pad features bin every doc to 0 and carry +inf
+        # thresholds, so any split on them sends everything left
+        # (rcount=0 -> never chosen).
         F = binned.shape[1]
         k = num_feat_shards
-        f_blk = ((F + k - 1) // k + 15) // 16 * 16
+        f_blk = ((F + k - 1) // k + 31) // 32 * 32
         Fp = f_blk * k
         if Fp != F:
             binned = np.pad(binned, ((0, 0), (0, Fp - F)))
@@ -423,8 +424,33 @@ class Mart(LTRAlgorithm):
         va: Optional[TrainData],
         metric: Metric,
         mesh: Optional[Mesh],
+        block_k: int = 1,
     ):
+        """Build the jitted training dispatch.  With ``block_k > 1`` the
+        returned callable runs ``block_k`` boosting iterations per device
+        dispatch via ``lax.scan`` and returns STACKED [k] metric pairs —
+        per-dispatch host/tunnel overhead (~tens of ms on the axon link)
+        amortizes over k trees.  Iteration semantics are unchanged: the
+        scan body is the same ``_step_body``, keys derive from the absolute
+        iteration index, and the host consumes the k metric pairs one by
+        one (early stopping may discard already-computed tail iterations,
+        exactly like the one-deep pipeline already does)."""
         va_sd = va.step if va is not None else None
+
+        def scanned(ens, s_tr, s_va, key, m0, presence, tr_sd, va_sd_, cfg,
+                    axis_name):
+            def body(carry, mi):
+                e, st, sv = carry
+                e2, st2, sv2, mt, mv = self._step_body(
+                    e, st, sv, key, mi, presence, tr_sd, va_sd_, metric,
+                    cfg, axis_name,
+                )
+                return (e2, st2, sv2), (mt, mv)
+
+            (ens, s_tr, s_va), (mts, mvs) = jax.lax.scan(
+                body, (ens, s_tr, s_va), m0 + jnp.arange(block_k)
+            )
+            return ens, s_tr, s_va, mts, mvs
 
         if mesh is None:
             cfg = self._grow_config(tr.num_bins)
@@ -434,9 +460,9 @@ class Mart(LTRAlgorithm):
             # compile time (slow) and duplicate them in the executable.
             if va_sd is not None:
                 def step_args(ens, s_tr, s_va, key, m, presence, tr_sd, va_sd_):
-                    return self._step_body(
+                    return scanned(
                         ens, s_tr, s_va, key, m, presence, tr_sd, va_sd_,
-                        metric, cfg, None,
+                        cfg, None,
                     )
 
                 jitted = jax.jit(step_args, donate_argnums=(0, 1, 2))
@@ -445,8 +471,8 @@ class Mart(LTRAlgorithm):
                 )
 
             def step_args(ens, s_tr, s_va, key, m, presence, tr_sd):
-                return self._step_body(
-                    ens, s_tr, s_va, key, m, presence, tr_sd, None, metric,
+                return scanned(
+                    ens, s_tr, s_va, key, m, presence, tr_sd, None,
                     cfg, None,
                 )
 
@@ -465,9 +491,8 @@ class Mart(LTRAlgorithm):
         ens_specs = jax.tree.map(lambda _: rep, EnsembleTensors.empty(1, 1))
 
         def sharded(ens, s_tr, s_va, key, m, presence, tr_sd, va_sd_):
-            return self._step_body(
-                ens, s_tr, s_va, key, m, presence, tr_sd, va_sd_, metric,
-                cfg, axis,
+            return scanned(
+                ens, s_tr, s_va, key, m, presence, tr_sd, va_sd_, cfg, axis,
             )
 
         # training/valid scores are (sum, comp, sum2d, comp2d) — flat Kahan
@@ -549,6 +574,21 @@ class Mart(LTRAlgorithm):
         else:
             feat_axis = None
             num_shards, num_feat_shards = 1, 1
+        # Feature-sharding exclusions, validated host-side up front (not as
+        # trace-time stack traces from inside jit) — see PARITY.md §known
+        # exclusions for the full matrix.
+        if feat_axis is not None and self.collapse_leaves_factor > 0:
+            raise NotImplementedError(
+                "collapse-leaves-factor under feature-axis sharding is not "
+                "supported — drop --num-feat-shards or "
+                "--collapse-leaves-factor (PARITY.md known exclusions)"
+            )
+        if feat_axis is not None and warm_start:
+            raise NotImplementedError(
+                "warm start (--restart-train / MetaCleaver) under "
+                "feature-axis sharding is not supported — drop "
+                "--num-feat-shards (PARITY.md known exclusions)"
+            )
         tr = TrainData.build(
             train,
             self.nthresholds,
@@ -576,7 +616,11 @@ class Mart(LTRAlgorithm):
                     va, step=shard_step_data(va.step, mesh, axis)
                 )
         cfg = self._grow_config(tr.num_bins)
-        ens = EnsembleTensors.empty(self.ntrees, cfg.max_nodes)
+        # capacity padded so the final (possibly partial) dispatch block can
+        # push its full block_k trees; extras are sliced away by _compact
+        ens = EnsembleTensors.empty(
+            self.ntrees + self._dispatch_block_size() - 1, cfg.max_nodes
+        )
 
         def _zero_scores(n, qd):
             # distinct buffers: the jitted step donates all four components
@@ -597,10 +641,6 @@ class Mart(LTRAlgorithm):
             else _zero_scores(1, (1, 1))
         )
         start_iter = 0
-        if warm_start and feat_axis is not None:
-            raise NotImplementedError(
-                "warm start under feature-axis sharding not supported"
-            )
         if warm_start and self.ensemble is not None and int(
             self.ensemble.num_trees
         ) > 0:
@@ -630,7 +670,29 @@ class Mart(LTRAlgorithm):
                     scores_va[3],
                 )
         self._post_init(tr)
-        step = self._make_step(tr, va, metric, mesh)
+        # Learners whose presence / post-iteration hooks feed the NEXT
+        # iteration (Selective's adaptive factor, StochasticNegative's
+        # resampling, the profiler's instance-level capture hook) must see
+        # each iteration's result before dispatching the next — no
+        # pipelining or iteration blocking for them.
+        uses_presence = (
+            type(self)._update_presence is not Mart._update_presence
+        )
+        pipelined = (
+            not uses_presence
+            and getattr(self._post_iteration, "__func__", None)
+            is Mart._post_iteration
+        )
+        # Iteration blocking: run block_k boosting iterations per device
+        # dispatch (lax.scan inside the jitted step) so per-dispatch host/
+        # tunnel overhead (~tens of ms on the axon link, ~20% of a steady
+        # MSLR iteration) amortizes.  Early stopping is evaluated per
+        # consumed iteration, so it can discard up to block_k-1 computed
+        # tail iterations — the rollback to the best prefix makes that
+        # waste invisible in the final model (mart.cc:380-395).
+        block_k = self._dispatch_block_size() if pipelined else 1
+        block_k = max(1, min(block_k, self.ntrees - start_iter or 1))
+        step = self._make_step(tr, va, metric, mesh, block_k=block_k)
         init_time = time.time() - t_init
 
         root_key = jax.random.PRNGKey(self.seed)
@@ -642,97 +704,102 @@ class Mart(LTRAlgorithm):
             print("# iter. training validation")
         t_train = time.time()
         presence = tr.step.doc_mask
-        # presence hooks (selective/stochastic sampling) run host-side and
-        # need the iteration key eagerly; plain Mart derives it in-step
-        uses_presence = (
-            type(self)._update_presence is not Mart._update_presence
-        )
-        # One-deep dispatch pipeline: reading an iteration's metric scalars
-        # (float()) round-trips the device link, which on a tunneled chip
-        # costs tens of ms — so iteration m+1 is dispatched BEFORE iteration
-        # m's metrics are fetched, overlapping the fetch with device compute.
-        # Early stopping is therefore evaluated one iteration late; when it
-        # fires, the already-dispatched iteration is discarded unconsumed, so
-        # history, best_it, and the rolled-back model are identical to the
-        # serial loop (mart.cc:380-395 keeps only the best prefix anyway).
-        pending = None  # (iter index, device m_tr, device m_va)
+        # One-deep dispatch pipeline: reading a block's metric scalars
+        # round-trips the device link, which on a tunneled chip costs tens
+        # of ms — so block b+1 is dispatched BEFORE block b's metrics are
+        # fetched, overlapping the fetch with device compute.  When early
+        # stopping fires, already-dispatched work is discarded unconsumed,
+        # so history, best_it, and the rolled-back model are identical to
+        # the serial loop.
+        pending = None  # (first iter index, device m_tr [k], device m_va [k])
 
         def _consume(ens_now):
-            nonlocal best_va, best_it
-            pm, d_tr, d_va = pending
-            m_tr = float(d_tr)
-            m_va = float(d_va)
-            hist_tr.append(m_tr)
-            hist_va.append(m_va)
-            improved = False
-            if va is not None and m_va > best_va:
-                best_va, best_it, improved = m_va, pm, True
-            elif va is None and m_tr > max(hist_tr[:-1], default=-np.inf):
-                improved = True
-            self._post_iteration(pm, improved)
-            if (
-                partial_save
-                and output_basename
-                and (pm + 1) % partial_save == 0
-            ):
-                # periodic partial model save as <base>.T<iter>.xml
-                # (mart.cc:378-381, suffix logic ltr_algorithm.cc:54-65);
-                # trees are append-only, so slicing the CURRENT buffers to
-                # pm+1 trees reproduces the ensemble as of iteration pm
-                snapshot = self.ensemble
-                self.ensemble = _compact(
-                    ens_now.replace(num_trees=jnp.asarray(pm + 1, jnp.int32))
-                )
-                self.save(f"{output_basename}.T{pm + 1}.xml")
-                self.ensemble = snapshot
-            if verbose and (pm < 5 or (pm + 1) % 10 == 0 or improved):
-                vtxt = f" {m_va:.6f}" if va is not None else ""
-                print(f"# {pm + 1:5d} {m_tr:.6f}{vtxt}{' *' if improved else ''}")
+            """Consume one dispatched block; True when early stopping
+            fired at some iteration inside it."""
+            nonlocal best_va, best_it, pending
+            m0b, d_tr, d_va = pending
+            pending = None
+            mts = np.asarray(d_tr).reshape(-1)
+            mvs = np.asarray(d_va).reshape(-1)
+            for j in range(len(mts)):
+                pm = m0b + j
+                if pm >= self.ntrees:
+                    break  # capacity-padded tail of the final block
+                m_tr = float(mts[j])
+                m_va = float(mvs[j])
+                hist_tr.append(m_tr)
+                hist_va.append(m_va)
+                improved = False
+                if va is not None and m_va > best_va:
+                    best_va, best_it, improved = m_va, pm, True
+                elif va is None and m_tr > max(hist_tr[:-1], default=-np.inf):
+                    improved = True
+                self._post_iteration(pm, improved)
+                if (
+                    partial_save
+                    and output_basename
+                    and (pm + 1) % partial_save == 0
+                ):
+                    # periodic partial model save as <base>.T<iter>.xml
+                    # (mart.cc:378-381, suffix ltr_algorithm.cc:54-65);
+                    # trees are append-only, so slicing the CURRENT buffers
+                    # to pm+1 trees reproduces the ensemble as of pm even
+                    # when ens_now is a later block's state
+                    snapshot = self.ensemble
+                    self.ensemble = _compact(
+                        ens_now.replace(
+                            num_trees=jnp.asarray(pm + 1, jnp.int32)
+                        )
+                    )
+                    self.save(f"{output_basename}.T{pm + 1}.xml")
+                    self.ensemble = snapshot
+                if verbose and (pm < 5 or (pm + 1) % 10 == 0 or improved):
+                    vtxt = f" {m_va:.6f}" if va is not None else ""
+                    print(
+                        f"# {pm + 1:5d} {m_tr:.6f}{vtxt}"
+                        f"{' *' if improved else ''}"
+                    )
+                if (
+                    va is not None
+                    and self.esr
+                    and pm >= start_iter
+                    and pm - best_it >= self.esr
+                ):
+                    return True
+            return False
 
-        # Learners whose presence / post-iteration hooks feed the NEXT
-        # iteration (Selective's adaptive factor, StochasticNegative's
-        # resampling) must see each iteration's result before dispatching
-        # the next — no pipelining for them.
-        # __func__ check also catches INSTANCE-level overrides (the device
-        # profiler binds one to mark capture boundaries — those must stay
-        # aligned with consumption)
-        pipelined = (
-            not uses_presence
-            and getattr(self._post_iteration, "__func__", None)
-            is Mart._post_iteration
-        )
         stopped_early = False
-        for m in range(start_iter, self.ntrees):
+        m0 = start_iter
+        while m0 < self.ntrees and not stopped_early:
             t_iter = time.time()
             if uses_presence:
-                key = jax.random.fold_in(root_key, m)
+                key = jax.random.fold_in(root_key, m0)
                 new_presence = self._update_presence(
-                    m, tr, scores_tr[0], key
+                    m0, tr, scores_tr[0], key
                 )
                 if new_presence is not None:
                     presence = new_presence
             ens, scores_tr, scores_va, m_tr, m_va = step(
-                ens, scores_tr, scores_va, root_key, np.int32(m), presence
+                ens, scores_tr, scores_va, root_key, np.int32(m0), presence
             )
+            just_dispatched = (m0, m_tr, m_va)
             if pending is not None:
-                _consume(ens)
-            pending = (m, m_tr, m_va)
-            if not pipelined:
-                _consume(ens)
-                pending = None
-            iter_seconds.append(time.time() - t_iter)
-            last_consumed = m if not pipelined else m - 1
-            if (
-                va is not None
-                and self.esr
-                and last_consumed >= start_iter
-                and last_consumed - best_it >= self.esr
-            ):
-                stopped_early = True
-                break
+                stopped_early = _consume(ens)
+            if not stopped_early:
+                pending = just_dispatched
+                if not pipelined:
+                    stopped_early = _consume(ens)
+            k_eff = min(block_k, self.ntrees - m0)
+            dt = time.time() - t_iter
+            iter_seconds.extend([dt / k_eff] * k_eff)
+            m0 += block_k
         if pending is not None and not stopped_early:
             _consume(ens)
 
+        # drop the capacity-padded tail of the final dispatch block (trees
+        # past ntrees exist only to keep the scan shape static)
+        if int(ens.num_trees) > self.ntrees:
+            ens = ens.replace(num_trees=jnp.asarray(self.ntrees, jnp.int32))
         if va is not None and best_it >= 0:
             # Rollback to the best model (mart.cc:390-395).
             ens = ens.replace(num_trees=jnp.asarray(best_it + 1, jnp.int32))
@@ -756,6 +823,47 @@ class Mart(LTRAlgorithm):
                 f"init {init_time:.2f}s, train {train_time:.2f}s"
             )
         return self.history
+
+    #: hyperparameters that must match for a --restart-train resume
+    #: (mart.cc:499-504: shrinkage within 1e-6, plus exact nthresholds /
+    #: nleaves / minleafsupport / esr)
+    _RESTART_EXACT = ("nthresholds", "nleaves", "minleafsupport", "esr")
+
+    def import_model_state(self, other: LTRAlgorithm) -> None:
+        """Adopt ``other``'s ensemble for a training resume, refusing on a
+        hyperparameter mismatch (mart.cc:493-517) — a silent resume with,
+        say, a different shrinkage would corrupt the model without erroring.
+        Runs host-side, before any device work."""
+        if not isinstance(other, Mart):
+            raise ValueError(
+                f"restart-train: {self.NAME} cannot import model state from "
+                f"{other.NAME}"
+            )
+        diffs = []
+        if abs(self.shrinkage - other.shrinkage) > 1e-6:
+            diffs.append(
+                f"shrinkage: {self.shrinkage} (requested) != "
+                f"{other.shrinkage} (loaded model)"
+            )
+        for name in self._RESTART_EXACT:
+            a, b = getattr(self, name), getattr(other, name)
+            if a != b:
+                diffs.append(f"{name}: {a} (requested) != {b} (loaded model)")
+        if diffs:
+            raise ValueError(
+                "restart-train: models not compatible for restart "
+                "(mart.cc:493-517): " + "; ".join(diffs)
+            )
+        self.ensemble = other.ensemble
+        self._depth_bound = other._depth_bound
+
+    def _dispatch_block_size(self) -> int:
+        """Boosting iterations per device dispatch (lax.scan block) when no
+        per-iteration host hook forbids it.  4 amortizes the tunnel's
+        per-dispatch cost to <5% of a steady MSLR iteration while keeping
+        the early-stop overshoot (< block_k discarded tail iterations)
+        negligible."""
+        return 4
 
     def _post_init(self, tr: TrainData) -> None:
         """Subclass hook run once after data prep (e.g. DART bookkeeping)."""
@@ -825,10 +933,7 @@ class Mart(LTRAlgorithm):
             return cached[1]
         from quickrank_tpu.trees.perfect import ensemble_to_perfect
 
-        try:
-            pe = ensemble_to_perfect(ens, max_depth=5)
-        except RecursionError:
-            pe = None
+        pe = ensemble_to_perfect(ens, max_depth=5)
         self._pe_cache = (ens, pe)
         return pe
 

@@ -247,10 +247,13 @@ def histogram_pallas(
     N, F = binned.shape
     C = values.shape[-1]
     ch_pad = _round_up(max(C, CH_PAD), 8)
-    # Tuned on v5e (136-144 feats x 256 bins): tile 1024 / G 32 wins the
-    # 2026-08-19 on-chip sweep (46 ms vs 55 ms at G=16, 220 ms at G=8 for
-    # the node kernel at MSLR scale); G's extra feature padding
-    # (F -> round_up(F, G)) is already priced into those numbers.
+    # Tile 1024 / G 32: EXTRAPOLATED from the 2026-08-19 on-chip sweep of
+    # the NODE kernel (46 ms vs 55 ms at G=16, 220 ms at G=8 at MSLR scale,
+    # scripts/bench_histkernel.py) — this plain kernel shares the one-hot
+    # build that dominates that sweep but was not swept itself; its one
+    # production caller (grow.py::segment_sums) pins feat_group=16 for its
+    # single-column shape.  G's extra feature padding (F -> round_up(F, G))
+    # is already priced into the sweep numbers.
     if tile_n <= 0:
         tile_n = 1024
     if feat_group <= 0:

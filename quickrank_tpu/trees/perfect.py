@@ -39,20 +39,34 @@ class PerfectEnsemble:
         return int(self.leaf.shape[1]).bit_length() - 1
 
 
-def tree_depths(ens) -> np.ndarray:
-    """Max depth of each live tree in an EnsembleTensors."""
+def tree_depths(ens, cap: Optional[int] = None) -> np.ndarray:
+    """Max depth of each live tree in an EnsembleTensors.
+
+    Iterative (explicit worklist): a degenerate chain-shaped tree from an
+    XML import is bounded by the node budget, not Python's process-global
+    recursion limit (rtnode.h:134's recursion rides the C++ stack; ours must
+    not ride sys.setrecursionlimit).  With ``cap``, a tree found deeper than
+    ``cap`` reports ``cap + 1`` without walking its remaining nodes."""
     T = int(ens.num_trees)
-    feat = np.asarray(ens.feature)
     left = np.asarray(ens.left)
     right = np.asarray(ens.right)
     isleaf = np.asarray(ens.is_leaf)
 
-    def depth(t, i):
-        if isleaf[t, i]:
-            return 0
-        return 1 + max(depth(t, int(left[t, i])), depth(t, int(right[t, i])))
+    def depth(t):
+        maxd = 0
+        stack = [(0, 0)]
+        while stack:
+            i, d = stack.pop()
+            if isleaf[t, i]:
+                maxd = max(maxd, d)
+                continue
+            if cap is not None and d >= cap:
+                return cap + 1
+            stack.append((int(left[t, i]), d + 1))
+            stack.append((int(right[t, i]), d + 1))
+        return maxd
 
-    return np.asarray([depth(t, 0) for t in range(T)])
+    return np.asarray([depth(t) for t in range(T)])
 
 
 def ensemble_to_perfect(
@@ -65,7 +79,7 @@ def ensemble_to_perfect(
     T = int(ens.num_trees)
     if T == 0:
         return None
-    depths = tree_depths(ens)
+    depths = tree_depths(ens, cap=max_depth)
     D = int(max(1, depths.max()))
     if D > max_depth:
         return None

@@ -4,10 +4,22 @@
 # Every device job runs under `timeout` with SIGTERM margin (a SIGKILLed
 # client mid-compile can wedge the tunnel for hours — CLAUDE.md).
 #
-# Usage: bash scripts/on_chip_battery.sh [outdir]
+# Usage: bash scripts/on_chip_battery.sh [outdir] [--msn1 DIR]
+#   --msn1 DIR  also run the real-data MSN1 quality-floor parity module
+#               (tests/test_msn1_parity.py) against the 5k fold sample in
+#               DIR (msn1.fold1.{train,vali,test}.5k.txt — fetch with
+#               scripts/fetch_msn1.sh where the network allows) and append
+#               the floors to the battery output.
 set -u -o pipefail
 FAIL=0
-OUT="${1:-/tmp/qrtpu_battery}"
+OUT="/tmp/qrtpu_battery"
+MSN1_DIR=""
+while [ $# -gt 0 ]; do
+  case "$1" in
+    --msn1) MSN1_DIR="$2"; shift 2 ;;
+    *) OUT="$1"; shift ;;
+  esac
+done
 mkdir -p "$OUT"
 export PYTHONPATH=/root/repo:/root/.axon_site
 
@@ -26,6 +38,18 @@ echo "== headline bench (scoring + train s/tree, level+best) =="
 timeout -k 60 3600 python bench.py 2>"$OUT/bench.stderr" | tee "$OUT/bench.json" \
   || { echo "!! bench FAILED (rc=$?)"; FAIL=1; }
 tail -5 "$OUT/bench.stderr"
+
+if [ -n "$MSN1_DIR" ]; then
+  echo "== MSN1 real-data quality floors (test-lambdamart.cc:135-137 etc.) =="
+  if [ ! -f "$MSN1_DIR/msn1.fold1.train.5k.txt" ]; then
+    echo "!! --msn1: $MSN1_DIR has no msn1.fold1.train.5k.txt"; FAIL=1
+  else
+    QUICKRANK_MSN1_DIR="$MSN1_DIR" timeout -k 60 3600 \
+      python -m pytest tests/test_msn1_parity.py -v -rs 2>&1 \
+      | tee "$OUT/msn1_floors.txt" \
+      || { echo "!! MSN1 floors FAILED (rc=$?)"; FAIL=1; }
+  fi
+fi
 
 if [ "$FAIL" -ne 0 ]; then
   echo "== battery INCOMPLETE (failures above); outputs in $OUT =="

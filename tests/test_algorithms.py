@@ -283,3 +283,38 @@ def test_feature_importances_splits(splits):
     ens = m.ensemble
     internal = (~np.asarray(ens.is_leaf)[: int(ens.num_trees)]).sum()
     assert raw.sum() == internal
+
+
+def test_restart_hyperparameter_mismatch_rejected(tmp_path, splits):
+    """--restart-train with mismatched hyperparameters must error up front
+    (mart.cc:493-517 + ltr_algorithm_factory.cc:250-258), naming the diff —
+    a silent resume with a different shrinkage would corrupt the model."""
+    train, _, _ = splits
+    part = LambdaMart(ntrees=3, nleaves=4, nthresholds=16, seed=1)
+    part.learn(train, None, Ndcg(10), verbose=False)
+    path = str(tmp_path / "part.xml")
+    part.save(path)
+
+    with pytest.raises(ValueError, match="shrinkage"):
+        ltr_algorithm_factory(
+            "LAMBDAMART", model_in=path, restart_train=True,
+            num_trees=6, num_leaves=4, num_thresholds=16, shrinkage=0.05,
+        )
+    with pytest.raises(ValueError, match="nleaves"):
+        ltr_algorithm_factory(
+            "LAMBDAMART", model_in=path, restart_train=True,
+            num_trees=6, num_leaves=8, num_thresholds=16,
+        )
+    # cross-family import is rejected by type (dynamic_cast analog)
+    with pytest.raises(ValueError, match="cannot import"):
+        ltr_algorithm_factory(
+            "COORDASC", model_in=path, restart_train=True,
+        )
+    # matching hyperparameters load fine and actually resume
+    ok = ltr_algorithm_factory(
+        "LAMBDAMART", model_in=path, restart_train=True,
+        num_trees=6, num_leaves=4, num_thresholds=16,
+    )
+    info = ok.learn(train, None, Ndcg(10), verbose=False, warm_start=True)
+    assert int(ok.ensemble.num_trees) == 6
+    assert len(info["train"]) == 3

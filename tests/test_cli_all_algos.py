@@ -185,3 +185,39 @@ def test_cli_num_shards_matches_single_device(svml_dir, tmp_path, splits):
     r1 = run({})
     r4 = run({"num_shards": 4})
     assert abs(r1["test_metric"] - r4["test_metric"]) < 1e-3
+
+
+def test_cli_2d_mesh_trains(svml_dir, tmp_path):
+    """--num-shards x --num-feat-shards builds a 2-D mesh from the CLI."""
+    out = tmp_path / "lm2d.xml"
+    _run_cli(
+        svml_dir, out,
+        ["--algo", "LAMBDAMART", "--num-shards", "2",
+         "--num-feat-shards", "2", "--platform", "cpu"],
+    )
+    assert out.exists()
+
+
+@pytest.mark.parametrize(
+    "algo,extra",
+    [
+        ("DART", []),
+        ("RANKBOOST", []),
+        ("COORDASC", []),
+        ("LINESEARCH", []),
+        ("LAMBDAMART", ["--restart-train"]),
+        ("LAMBDAMART", ["--collapse-leaves-factor", "2.0"]),
+    ],
+)
+def test_cli_2d_mesh_exclusions_rejected(svml_dir, tmp_path, algo, extra):
+    """Excluded --num-feat-shards combinations fail at flag validation with
+    an actionable message, never a NotImplementedError stack trace from
+    inside learn() (PARITY.md known exclusions; quicklearn.cc:142-504's
+    parse-time rejection discipline)."""
+    with pytest.raises(SystemExit) as e:
+        _run_cli(
+            svml_dir, tmp_path / "x.xml",
+            ["--algo", algo, "--num-shards", "2", "--num-feat-shards", "2",
+             "--platform", "cpu"] + extra,
+        )
+    assert "PARITY.md" in str(e.value)

@@ -87,3 +87,46 @@ def test_embedding_replicates_collapsed_leaves(capped_model):
     thr = np.asarray(pe.thr)
     assert (thr[np.asarray(pe.fid) == 0] >= 0).any() or True
     assert np.isfinite(np.asarray(pe.leaf)).all()
+
+
+def test_chain_tree_depth_is_iterative():
+    """A degenerate chain-shaped tree (every split's right child is a leaf —
+    the shape an adversarial XML import produces) must be measured without
+    recursion: depth >> sys recursion limits may appear in imported models
+    and must simply disable the fast scorer, not crash (VERDICT r2 item 8)."""
+    import sys
+
+    from quickrank_tpu.trees.structs import EnsembleTensors, Tree
+
+    n = max(4 * sys.getrecursionlimit(), 8192)  # far past any Python stack
+    max_nodes = 2 * n + 1
+    tree = Tree.empty(max_nodes)
+    idx = np.arange(n)
+    feature = np.full((max_nodes,), -1, np.int32)
+    left = np.zeros((max_nodes,), np.int32)
+    right = np.zeros((max_nodes,), np.int32)
+    is_leaf = np.ones((max_nodes,), bool)
+    # node 2i splits into (leaf 2i+1, chain 2i+2)
+    feature[2 * idx] = 0
+    left[2 * idx] = 2 * idx + 1
+    right[2 * idx] = 2 * idx + 2
+    is_leaf[2 * idx] = False
+    tree = tree.replace(
+        feature=jnp.asarray(feature),
+        left=jnp.asarray(left),
+        right=jnp.asarray(right),
+        is_leaf=jnp.asarray(is_leaf),
+    )
+    ens = EnsembleTensors.empty(1, max_nodes)
+    ens = ens.replace(
+        feature=tree.feature[None], threshold=ens.threshold,
+        left=tree.left[None], right=tree.right[None],
+        is_leaf=tree.is_leaf[None],
+        weight=jnp.ones((1,), jnp.float32),
+        num_trees=jnp.asarray(1, jnp.int32),
+    )
+    # cap-bounded probe: must not walk the whole chain, let alone recurse
+    assert tree_depths(ens, cap=5)[0] == 6
+    assert ensemble_to_perfect(ens, max_depth=5) is None
+    # uncapped exact depth still works iteratively
+    assert tree_depths(ens)[0] == n
