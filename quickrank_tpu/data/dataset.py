@@ -212,6 +212,7 @@ def shard_and_pad(
     max_docs: Optional[int] = None,
     doc_align: int = 1024,
     features_on_device: bool = True,
+    force_dims: Optional[tuple] = None,
 ) -> PaddedDataset:
     """Lay the host dataset out in the static sharded format above.
 
@@ -237,6 +238,16 @@ def shard_and_pad(
     q_loc = max(len(g) for g in groups)
     # +1 dummy doc row per shard that padding slots point at.
     n_loc = _round_up(max(int(counts[g].sum()) for g in groups) + 1, doc_align)
+    if force_dims is not None:
+        # multi-host assembly: every process must agree on the padded
+        # shard geometry (parallel/multihost.py allgathers the maxima)
+        fq, fn, fd = force_dims
+        if fq < q_loc or fn < n_loc or fd < dmax:
+            raise ValueError(
+                f"force_dims {force_dims} below local minima "
+                f"{(q_loc, n_loc, dmax)}"
+            )
+        q_loc, n_loc, dmax = fq, fn, fd
 
     F = ds.num_features
     S = num_shards

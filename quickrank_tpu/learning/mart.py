@@ -111,6 +111,11 @@ class TrainData:
     padded: PaddedDataset
     step: StepData
     num_real_docs: int
+    num_real_features: int = 0
+    #: step tensors are already global jax.Arrays laid out over a mesh
+    #: (multi-host assembly, parallel/multihost.py) — learn() must not
+    #: re-shard them
+    presharded: bool = False
 
     @staticmethod
     def build(
@@ -119,11 +124,15 @@ class TrainData:
         num_shards: int = 1,
         thresholds: Optional[np.ndarray] = None,
         num_feat_shards: int = 1,
+        force_dims: Optional[tuple] = None,
     ) -> "TrainData":
         # Tree training never reads raw features on device — keep them on
         # host and ship only the (u8-packed) binned tensor, which matters
         # when the chip is behind a slow transfer link.
-        padded = shard_and_pad(ds, num_shards=num_shards, features_on_device=False)
+        padded = shard_and_pad(
+            ds, num_shards=num_shards, features_on_device=False,
+            force_dims=force_dims,
+        )
         if thresholds is None:
             thresholds, _ = build_thresholds(ds.features, nthresholds)
         else:
@@ -139,6 +148,10 @@ class TrainData:
         F = binned.shape[1]
         k = num_feat_shards
         f_blk = ((F + k - 1) // k + 31) // 32 * 32
+        if k == 1 and f_blk - F < 8:
+            # the clustered grower packs 8 payload bytes into the pad
+            # columns (trees/grow_cluster.py) — guarantee the space
+            f_blk += 32
         Fp = f_blk * k
         if Fp != F:
             binned = np.pad(binned, ((0, 0), (0, Fp - F)))
@@ -174,7 +187,10 @@ class TrainData:
             thresholds=jnp.asarray(thresholds),
             scatter_key=jnp.asarray(build_scatter_keys(padded)),
         )
-        return TrainData(padded=padded, step=sd, num_real_docs=ds.num_docs)
+        return TrainData(
+            padded=padded, step=sd, num_real_docs=ds.num_docs,
+            num_real_features=ds.num_features,
+        )
 
     @property
     def num_bins(self) -> int:
@@ -212,6 +228,7 @@ class Mart(LTRAlgorithm):
         max_depth: int = 0,
         collapse_leaves_factor: float = 0.0,
         growth: str = "best",
+        cluster: str = "auto",
     ):
         """Defaults mirror quicklearn's training group (src/quicklearn.cc:97-140)
         except ``nthresholds``: the reference's 0 = "all unique values" is
@@ -236,6 +253,21 @@ class Mart(LTRAlgorithm):
         if growth not in ("best", "level"):
             raise ValueError(f"growth must be 'best' or 'level', got {growth!r}")
         self.growth = growth
+        #: node-clustered doc layout for best-first growth (an
+        #: EXPERIMENTAL layout knob; trees follow the same split rule
+        #: either way).  "on" forces the clustered grower (MXU partition
+        #: kernel on TPU, XLA fallback elsewhere); "off"/"auto" =
+        #: dataset-order growth.  Auto resolves to OFF: the 2026-08-19
+        #: on-chip A/B measured 0.90-0.98 s/tree clustered vs 0.32-0.43
+        #: dataset-order at MSLR scale — in-step histogram passes already
+        #: run near the tile-skip floor (~17 ms/pass vs the 6.9 ms
+        #: standalone floor), so the per-split repack (~21 ms) never pays
+        #: for itself.  Kept for research: the partition kernel is
+        #: validated bit-exact (scripts/validate_partition.py) and the
+        #: growers are parity-tested (tests/test_cluster.py).
+        if cluster not in ("auto", "on", "off"):
+            raise ValueError(f"cluster must be auto/on/off, got {cluster!r}")
+        self.cluster = cluster
         self.ensemble: Optional[EnsembleTensors] = None
         self.best_iteration: int = -1
         self.history: dict = {}
@@ -255,6 +287,7 @@ class Mart(LTRAlgorithm):
         num_bins: int,
         feat_axis: Optional[str] = None,
         feat_axis_size: int = 1,
+        num_real_features: int = 0,
     ) -> GrowConfig:
         nleaves = self.nleaves
         if self.growth == "level":
@@ -270,6 +303,7 @@ class Mart(LTRAlgorithm):
             feat_axis_size=feat_axis_size,
             max_depth=self.max_depth,
             collapse_factor=self.collapse_leaves_factor,
+            num_real_features=num_real_features,
         )
 
     def _tree_weight(self) -> float:
@@ -290,6 +324,29 @@ class Mart(LTRAlgorithm):
     def _level_depth(self) -> int:
         return self.max_depth or max(1, (self.nleaves - 1).bit_length())
 
+    def _cluster_applicable(self, tr: StepData, cfg) -> bool:
+        """Whether the node-clustered best-first grower can run: u8 bins,
+        tile-aligned docs, payload space in the pad columns, no feature
+        sharding / collapse (trees/grow_cluster.py requirements)."""
+        if self.cluster == "off" or self.growth != "best":
+            return False
+        from quickrank_tpu.trees.grow_cluster import payload_columns_required
+
+        N, W = tr.binned.shape
+        f_real = cfg.num_real_features or W
+        ok = (
+            tr.binned.dtype == jnp.uint8
+            and N % 1024 == 0
+            and W - f_real >= payload_columns_required()
+            and cfg.feat_axis is None
+            and cfg.collapse_factor == 0.0
+        )
+        if not ok:
+            return False
+        # "auto" resolves to OFF (see the ctor note: measured 2.2x slower
+        # end-to-end on v5e; "on" remains for experiments)
+        return self.cluster == "on"
+
     def _fit_and_assign(
         self, tr: StepData, grad, smask, cfg, key, axis_name, weights=None
     ):
@@ -304,6 +361,14 @@ class Mart(LTRAlgorithm):
                 cfg, key=key, axis_name=axis_name, weights=weights,
             )
             return tree, node, True
+        if self._cluster_applicable(tr, cfg):
+            from quickrank_tpu.trees.grow_cluster import fit_tree_clustered
+
+            tree, node = fit_tree_clustered(
+                tr.binned, grad, smask, tr.thresholds, cfg, key=key,
+                axis_name=axis_name,
+            )
+            return tree, node, False
         tree, node = fit_tree(
             tr.binned, grad, smask, tr.thresholds, cfg, key=key, axis_name=axis_name
         )
@@ -453,7 +518,9 @@ class Mart(LTRAlgorithm):
             return ens, s_tr, s_va, mts, mvs
 
         if mesh is None:
-            cfg = self._grow_config(tr.num_bins)
+            cfg = self._grow_config(
+                tr.num_bins, num_real_features=tr.num_real_features
+            )
 
             # Data tensors are jit ARGUMENTS, not closure constants — XLA
             # would otherwise embed + constant-fold the multi-MB arrays at
@@ -482,7 +549,10 @@ class Mart(LTRAlgorithm):
         axis = mesh.axis_names[0]
         feat_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
         feat_size = int(mesh.shape[feat_axis]) if feat_axis else 1
-        cfg = self._grow_config(tr.num_bins, feat_axis, feat_size)
+        cfg = self._grow_config(
+            tr.num_bins, feat_axis, feat_size,
+            num_real_features=tr.num_real_features,
+        )
         sd_specs = step_data_specs(tr.step, axis, feat_axis)
         # valid split stays feature-replicated (its scoring descends trees
         # with global feature ids)
@@ -536,15 +606,25 @@ class Mart(LTRAlgorithm):
                 check_rep=False,
             )
 
-        @jax.jit
-        def step(ens, s_tr, s_va, key, m, presence):
-            if va_sd is not None:
-                return mapped(
-                    ens, s_tr, s_va, key, m, presence, tr.step, va_sd
-                )
-            return mapped(ens, s_tr, s_va, key, m, presence, tr.step)
-
-        return step
+        # step data passed as jit ARGUMENTS (same as the single-device
+        # branch): besides the const-folding hazard, closing over a global
+        # jax.Array is illegal in multi-process runs (non-addressable
+        # shards)
+        if va_sd is not None:
+            jitted = jax.jit(
+                lambda e, s, v, k, m, p, tr_sd, va_: mapped(
+                    e, s, v, k, m, p, tr_sd, va_
+                ),
+                donate_argnums=(0, 1, 2),
+            )
+            return lambda e, s, v, k, m, p: jitted(
+                e, s, v, k, m, p, tr.step, va_sd
+            )
+        jitted = jax.jit(
+            lambda e, s, v, k, m, p, tr_sd: mapped(e, s, v, k, m, p, tr_sd),
+            donate_argnums=(0, 1, 2),
+        )
+        return lambda e, s, v, k, m, p: jitted(e, s, v, k, m, p, tr.step)
 
     # -- training ------------------------------------------------------------
 
@@ -589,14 +669,27 @@ class Mart(LTRAlgorithm):
                 "feature-axis sharding is not supported — drop "
                 "--num-feat-shards (PARITY.md known exclusions)"
             )
-        tr = TrainData.build(
-            train,
-            self.nthresholds,
-            num_shards=num_shards,
-            num_feat_shards=num_feat_shards,
-        )
-        va = (
-            TrainData.build(
+        if isinstance(train, TrainData):
+            # pre-assembled step tensors (multi-host path,
+            # parallel/multihost.py) — geometry fixed by the builder
+            tr = train
+            if warm_start and tr.presharded:
+                raise NotImplementedError(
+                    "warm start with a presharded multi-host TrainData is "
+                    "not supported (host-side rescoring gathers need the "
+                    "global flat layout)"
+                )
+        else:
+            tr = TrainData.build(
+                train,
+                self.nthresholds,
+                num_shards=num_shards,
+                num_feat_shards=num_feat_shards,
+            )
+        if isinstance(valid, TrainData):
+            va = valid
+        elif valid is not None:
+            va = TrainData.build(
                 valid,
                 self.nthresholds,
                 num_shards=num_shards,
@@ -604,10 +697,9 @@ class Mart(LTRAlgorithm):
                 # scoring uses global feature ids over the full matrix
                 thresholds=np.asarray(tr.step.thresholds)[: valid.num_features],
             )
-            if valid is not None
-            else None
-        )
-        if mesh is not None:
+        else:
+            va = None
+        if mesh is not None and not tr.presharded:
             tr = dataclasses.replace(
                 tr, step=shard_step_data(tr.step, mesh, axis, feat_axis)
             )
@@ -632,14 +724,42 @@ class Mart(LTRAlgorithm):
                 jnp.zeros(qd, jnp.float32),
             )
 
-        scores_tr = _zero_scores(
-            tr.padded.num_docs_padded, tr.step.slot_mask.shape
-        )
-        scores_va = (
-            _zero_scores(va.padded.num_docs_padded, va.step.slot_mask.shape)
-            if va is not None
-            else _zero_scores(1, (1, 1))
-        )
+        if tr.presharded:
+            # multi-host: score buffers must be GLOBAL sharded arrays laid
+            # out like the step tensors (a process-local jnp.zeros cannot
+            # feed a multi-process jit); each component gets its own jit
+            # execution so the four donated buffers never alias
+            from jax.sharding import NamedSharding
+
+            def _zeros_global(n, qd):
+                sf = NamedSharding(mesh, P(axis))
+                s2 = NamedSharding(mesh, P(axis, None))
+                mk = lambda shp, sh: jax.jit(  # noqa: E731
+                    lambda: jnp.zeros(shp, jnp.float32), out_shardings=sh
+                )()
+                return (mk((n,), sf), mk((n,), sf), mk(qd, s2), mk(qd, s2))
+
+            scores_tr = _zeros_global(
+                tr.step.binned.shape[0], tr.step.slot_mask.shape
+            )
+            scores_va = (
+                _zeros_global(
+                    va.step.binned.shape[0], va.step.slot_mask.shape
+                )
+                if va is not None
+                else _zero_scores(1, (1, 1))
+            )
+        else:
+            scores_tr = _zero_scores(
+                tr.padded.num_docs_padded, tr.step.slot_mask.shape
+            )
+            scores_va = (
+                _zero_scores(
+                    va.padded.num_docs_padded, va.step.slot_mask.shape
+                )
+                if va is not None
+                else _zero_scores(1, (1, 1))
+            )
         start_iter = 0
         if warm_start and self.ensemble is not None and int(
             self.ensemble.num_trees
@@ -858,12 +978,18 @@ class Mart(LTRAlgorithm):
         self._depth_bound = other._depth_bound
 
     def _dispatch_block_size(self) -> int:
-        """Boosting iterations per device dispatch (lax.scan block) when no
-        per-iteration host hook forbids it.  4 amortizes the tunnel's
-        per-dispatch cost to <5% of a steady MSLR iteration while keeping
-        the early-stop overshoot (< block_k discarded tail iterations)
-        negligible."""
-        return 4
+        """Boosting iterations per device dispatch (lax.scan block).
+
+        Default 1: a clean A/B at MSLR scale (2026-08-19, 8-tree runs,
+        second-block iters) measured k=1 at 0.222-0.228 s/tree vs k=4 at
+        0.285-0.549 — the one-deep dispatch pipeline already hides the
+        tunnel's per-dispatch latency, and the scan carry costs more than
+        it saves on this link.  QRTPU_BLOCK_K overrides for transports
+        where per-dispatch overhead dominates (e.g. heavily multiplexed
+        tunnels); early-stop/partial-save semantics hold for any k."""
+        import os
+
+        return int(os.environ.get("QRTPU_BLOCK_K", 1))
 
     def _post_init(self, tr: TrainData) -> None:
         """Subclass hook run once after data prep (e.g. DART bookkeeping)."""

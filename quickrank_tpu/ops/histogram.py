@@ -67,6 +67,7 @@ def masked_histogram_t(
     values_t: jnp.ndarray,
     mask: jnp.ndarray,
     num_bins: int,
+    f_used: int = 0,
 ) -> jnp.ndarray:
     """:func:`masked_histogram` from CHANNEL-MAJOR premasked values.
 
@@ -82,7 +83,11 @@ def masked_histogram_t(
         from quickrank_tpu.ops.pallas_histogram import node_histogram_pallas
 
         pos = jnp.where(mask, 0, 1).astype(jnp.int32)
-        return node_histogram_pallas(binned, values_t, pos, num_bins, 0, 1)
+        return node_histogram_pallas(
+            binned, values_t, pos, num_bins, 0, 1, f_used=f_used
+        )
+    if f_used:
+        binned = binned[:, :f_used]
     return masked_histogram_scatter(binned, values_t.T, mask, num_bins)
 
 

@@ -162,6 +162,7 @@ def _node_kernel(
     jax.jit,
     static_argnames=(
         "num_bins", "n0", "k", "tile_n", "feat_group", "onehot", "skip_empty",
+        "f_used",
     ),
 )
 def node_histogram_pallas(
@@ -175,14 +176,21 @@ def node_histogram_pallas(
     feat_group: int = 32,
     onehot: str = "repeat",
     skip_empty: bool = True,
+    f_used: int = 0,
 ) -> jnp.ndarray:
     """hist[f, b, i*C + c] = sum_{n: pos[n] == n0+i} values_t[c, n]
     [binned[n, f] == b]  ->  [F, B, k*C].
 
     ``values_t`` is channel-major [C, N] and must already be masked (zero
     columns for docs outside the doc mask).  Keep inputs doc-tile aligned
-    (N % tile_n == 0 — see shard_and_pad's doc_align) for pad-free calls."""
+    (N % tile_n == 0 — see shard_and_pad's doc_align) for pad-free calls.
+    ``f_used`` (0 = all columns) limits the histogram to the first
+    ``f_used`` feature columns — the clustered work buffer is 128-lane
+    padded for its DMA kernel, and the dead tail would otherwise pay
+    one-hot cost."""
     N, F = binned.shape
+    if f_used:
+        F = f_used
     C = values_t.shape[0]
     ch = k * C
     ch_pad = _round_up(max(ch, CH_PAD), 8)
@@ -202,8 +210,11 @@ def node_histogram_pallas(
         # n0 only when n0 == 0, and always with zero channel values — they
         # can inhibit the skip_empty tile skip but never perturb a sum
         vals = jnp.pad(vals, ((0, 0), (0, n_pad - N)))
-    if Fp != F:
-        binned = jnp.pad(binned, ((0, 0), (0, Fp - F)))
+    if binned.shape[1] < Fp:
+        binned = jnp.pad(binned, ((0, 0), (0, Fp - binned.shape[1])))
+    # the block carries binned's full width (a 128-lane-padded clustered
+    # work buffer may be wider than Fp); the kernel loops only to Fp
+    Wb = binned.shape[1]
 
     out = pl.pallas_call(
         partial(
@@ -213,7 +224,7 @@ def node_histogram_pallas(
         out_shape=jax.ShapeDtypeStruct((ch_pad, Fp * Bp), jnp.float32),
         grid=(n_pad // tile_n,),
         in_specs=[
-            pl.BlockSpec((tile_n, Fp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, Wb), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C + 1, tile_n), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],

@@ -70,15 +70,23 @@ def _kernel(feats_ref, s_ref, thr_ref, wleaf_ref, out_ref, *, T, D, TB, tile_n):
             bits.append(
                 (sel > thr_ref[r0 : r0 + TB, :]).astype(jnp.float32)
             )
+        # level-by-level prefix products: every internal node's reach
+        # indicator is built once and shared by both subtrees — 2L-2
+        # multiplies instead of the naive L*D per-leaf path products
+        cur = [None]  # None = empty product (root reach = 1)
+        for d in range(D):
+            nxt = []
+            for j in range(2**d):
+                bit = bits[(2**d - 1) + j]
+                p = cur[j]
+                if p is None:
+                    nxt += [1.0 - bit, bit]
+                else:
+                    nxt += [p - p * bit, p * bit]  # p*(1-b) with one mul
+            cur = nxt
         acc = jnp.zeros((TB, tile_n), jnp.float32)
         for l in range(L):
-            ind = None
-            for d in range(D):
-                anc = (2**d - 1) + (l >> (D - d))
-                go_right = (l >> (D - 1 - d)) & 1
-                term = bits[anc] if go_right else 1.0 - bits[anc]
-                ind = term if ind is None else ind * term
-            acc = acc + wleaf_ref[b * TB : (b + 1) * TB, l][:, None] * ind
+            acc = acc + wleaf_ref[b * TB : (b + 1) * TB, l][:, None] * cur[l]
         total = total + jnp.sum(acc, axis=0)[None, :]
     out_ref[pl.ds(pl.program_id(0), 1), :] = total
 

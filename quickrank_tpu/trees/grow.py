@@ -59,6 +59,12 @@ class GrowConfig:
     #: collapsed into a leaf while n_nodes <= (2^(depth+1)-1) * factor, and
     #: the pass stops at the first violation.
     collapse_factor: float = 0.0
+    #: number of REAL feature columns (0 = all of binned's columns).  The
+    #: clustered grower packs per-doc payload bytes into binned's pad
+    #: columns, which breaks the "pad columns bin to 0" invariant the gain
+    #: scan otherwise relies on — it masks columns >= num_real_features
+    #: statically instead (trees/grow_cluster.py).
+    num_real_features: int = 0
 
     @property
     def max_nodes(self) -> int:

@@ -46,9 +46,11 @@ def main():
     log(f"# data: {train.num_docs} docs in {time.perf_counter() - t0:.1f}s")
 
     warm, traced = 3, 3
+    cluster = os.environ.get("QRTPU_PROFILE_CLUSTER", "auto")
     lm = LambdaMart(
         ntrees=warm + traced, nleaves=16, shrinkage=0.1, nthresholds=255,
         growth=growth, seed=1, max_depth=4 if growth == "level" else 0,
+        cluster=cluster,
     )
 
     tdir = tempfile.mkdtemp(prefix="qrtpu_profile_")

@@ -1,0 +1,92 @@
+"""Measured (not extrapolated) 1000-tree LambdaMART runs at MSLR scale.
+
+BASELINE.json's headline metric is "MSLR-WEB30K LambdaMART train time
+(1000 trees)"; bench.py measures a short steady-state window and
+multiplies out.  This script runs the FULL 1000 trees for both growers on
+the real chip and records what extrapolation can't show: init / compile /
+steady breakdown, the per-100-tree iteration-time curve (does the
+iteration stay flat at tree 900?), and the final train NDCG@10.  Results
+go to docs/sweeps/<date>-train1000.json for the benchmark docs.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_1000.py
+Env:   QRTPU_T1000_TREES (default 1000), QRTPU_T1000_QUERIES (19000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    jax.config.update("jax_compilation_cache_dir", "/tmp/qrtpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    from bench import _timing_dataset
+    from quickrank_tpu.learning.lambdamart import LambdaMart
+    from quickrank_tpu.metrics.metrics import Ndcg
+
+    ntrees = int(os.environ.get("QRTPU_T1000_TREES", 1000))
+    nq = int(os.environ.get("QRTPU_T1000_QUERIES", 19000))
+    t0 = time.perf_counter()
+    train = _timing_dataset(nq)
+    log(f"# data: {train.num_docs} docs in {time.perf_counter() - t0:.1f}s")
+
+    results = {"docs": train.num_docs, "queries": train.num_queries,
+               "ntrees": ntrees, "runs": {}}
+    for growth in ("level", "best"):
+        lm = LambdaMart(
+            ntrees=ntrees, nleaves=16, shrinkage=0.1, nthresholds=255,
+            growth=growth, seed=1, max_depth=4 if growth == "level" else 0,
+        )
+        t0 = time.perf_counter()
+        hist = lm.learn(train, None, Ndcg(10), verbose=False)
+        total = time.perf_counter() - t0
+        it = np.asarray(hist["iter_seconds"])
+        curve = [
+            {
+                "trees": f"{i}-{min(i + 100, len(it))}",
+                "median_s": round(float(np.median(it[i : i + 100])), 4),
+                "p90_s": round(float(np.percentile(it[i : i + 100], 90)), 4),
+            }
+            for i in range(0, len(it), 100)
+        ]
+        run = {
+            "total_s": round(total, 1),
+            "init_s": round(hist["init_seconds"], 1),
+            "compile_iter_s": round(float(it[0]), 1),
+            "steady_median_s_per_tree": round(float(np.median(it[4:])), 4),
+            "steady_p90_s_per_tree": round(
+                float(np.percentile(it[4:], 90)), 4
+            ),
+            "per_100_tree_curve": curve,
+            "final_train_ndcg10": round(float(hist["train"][-1]), 5),
+            "trees_kept": int(lm.ensemble.num_trees),
+        }
+        results["runs"][growth] = run
+        log(f"# {growth}: {json.dumps(run)[:400]}")
+
+    stamp = time.strftime("%Y-%m-%d")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "sweeps", f"{stamp}-train1000.json",
+    )
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+    log(f"# written to {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Simulated multi-host (DCN) training: two jax.distributed CPU processes
+on localhost, per-process data ingestion, global-array assembly — asserts
+sharded-equals-single-device for a small MART/LambdaMART run.
+
+This is the test SURVEY.md §2.9's "collective backend" row calls for: the
+subprocesses each load only THEIR query block (parallel/multihost.py),
+assemble global step tensors with jax.make_array_from_process_local_data,
+and run the unchanged jitted training step over a 4-device global mesh
+(2 processes x 2 local CPU devices).  The parent compares each process's
+metric history against a plain single-process run of the same data.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import json, os, sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=2"
+).strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/qrtpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+coord, pid, nproc, out_path = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+jax.distributed.initialize(
+    coordinator_address=coord, num_processes=nproc, process_id=pid
+)
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 2 * nproc, jax.devices()
+
+import numpy as np
+from jax.sharding import Mesh
+
+from quickrank_tpu.data.synthetic import make_ranking_dataset
+from quickrank_tpu.learning import LambdaMart
+from quickrank_tpu.metrics import Ndcg
+from quickrank_tpu.parallel.multihost import (
+    build_train_data_multihost, process_query_block,
+)
+
+mesh = Mesh(np.asarray(jax.devices()), ("data",))
+full = make_ranking_dataset(
+    num_queries=48, avg_docs_per_query=30, num_features=12, seed=7
+)
+local = process_query_block(full, nproc, pid)  # per-process ingestion
+tr = build_train_data_multihost(local, mesh, nthresholds=16)
+
+lm = LambdaMart(ntrees=3, nleaves=4, nthresholds=16, seed=0)
+hist = lm.learn(tr, None, Ndcg(10), verbose=False, mesh=mesh)
+if pid == 0:
+    with open(out_path, "w") as f:
+        json.dump({"train": hist["train"]}, f)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    p = s.getsockname()[1]
+    s.close()
+    return p
+
+
+def test_two_process_training_matches_single(tmp_path):
+    port = _free_port()
+    coord = f"127.0.0.1:{port}"
+    out_path = str(tmp_path / "mh.json")
+    script = str(tmp_path / "worker.py")
+    with open(script, "w") as f:
+        f.write(_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        + os.pathsep + env.get("PYTHONPATH", "")
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, coord, str(pid), "2", out_path],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=560)[0].decode() for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
+    with open(out_path) as f:
+        mh = json.load(f)
+
+    # single-process oracle on the SAME full dataset, using the SAME
+    # distributed-binning threshold tables the workers agreed on (the
+    # merge is deterministic and reproducible without jax.distributed)
+    from quickrank_tpu.data.synthetic import make_ranking_dataset
+    from quickrank_tpu.learning import LambdaMart
+    from quickrank_tpu.learning.mart import TrainData
+    from quickrank_tpu.metrics import Ndcg
+    from quickrank_tpu.ops.binning import build_thresholds
+    from quickrank_tpu.parallel.multihost import (
+        merge_threshold_candidates,
+        process_query_block,
+    )
+
+    full = make_ranking_dataset(
+        num_queries=48, avg_docs_per_query=30, num_features=12, seed=7
+    )
+    cand = np.stack(
+        [
+            build_thresholds(
+                process_query_block(full, 2, pid).features, 16
+            )[0]
+            for pid in range(2)
+        ]
+    )
+    thr = merge_threshold_candidates(cand)
+    tr = TrainData.build(full, 16, thresholds=thr)
+    lm = LambdaMart(ntrees=3, nleaves=4, nthresholds=16, seed=0)
+    h1 = lm.learn(tr, None, Ndcg(10), verbose=False)
+    # identical thresholds -> only psum f32 reorder noise remains
+    np.testing.assert_allclose(mh["train"], h1["train"], atol=6e-3)
