@@ -168,7 +168,7 @@ def run(params: dict) -> dict:
         # combinations at parse time, src/quicklearn.cc:142-504); the
         # matrix lives in PARITY.md "known exclusions".
         algo_name = str(p.get("algo", "LAMBDAMART")).upper()
-        no_2d = ("DART", "RANKBOOST", "COORDASC", "LINESEARCH")
+        no_2d = ("RANKBOOST", "COORDASC", "LINESEARCH")
         if algo_name in no_2d:
             raise SystemExit(
                 f"--num-feat-shards: {algo_name} supports 1-D (data) "

@@ -23,13 +23,20 @@ reference exactly:
     best model improves, and a full rescoring pass fights incremental drift
     every >10 iterations after a cleanup (dart.cc:552-558).
 
-Multi-chip: pass ``mesh`` (1-D data mesh) — every device kernel (fit,
-dropped-subset rescoring, metric, embedded line search) runs under
-``shard_map`` with the same histogram/metric psum discipline as the other
-learners.  Default DART reproduces single-device results exactly; the
-LINESEARCH normalization can diverge across shardings because NDCG plateaus
-make its 17-point argmax sensitive to f32 reduction order (the same
-tie-break variance the reference has across OpenMP schedules).
+Multi-chip: pass ``mesh`` (1-D data mesh or 2-D data x feature mesh) —
+every device kernel (fit, dropped-subset rescoring, metric, embedded line
+search) runs under ``shard_map`` with the same histogram/metric psum
+discipline as the other learners; under feature sharding the dropped-set
+descent routes via per-level owner-psum bits (descend_tree_binned's
+``feat_axis``) while the validation split stays feature-replicated, as in
+Mart.  Feature-axis sharding is EXACT (routing bits are integer decisions
+— tests pin 1 x k mesh == single device bitwise).  Data-axis sharding
+reproduces single-device results up to dropout decision ties: a ~1e-7
+metric-psum reordering near a ``best_improved`` tie can flip a compaction
+and cascade into different dropout draws; the LINESEARCH normalization
+adds the same class of variance through its 17-point argmax on NDCG
+plateaus (both are the tie-break variance the reference has across OpenMP
+schedules; bounded by tests/test_sharding.py against seed variance).
 """
 
 from __future__ import annotations
@@ -130,18 +137,30 @@ class Dart(LambdaMart):
         import time as _time
 
         t0 = _time.time()
-        num_shards = 1
-        axis = None
+        num_shards, num_feat_shards = 1, 1
+        axis = feat_axis = None
         if mesh is not None:
-            if len(mesh.axis_names) > 1:
-                raise NotImplementedError("DART: 2-D meshes not supported")
             axis = mesh.axis_names[0]
+            feat_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
             num_shards = int(mesh.shape[axis])
-        tr = TrainData.build(train, self.nthresholds, num_shards=num_shards)
+            num_feat_shards = int(mesh.shape[feat_axis]) if feat_axis else 1
+        if feat_axis is not None and warm_start:
+            raise NotImplementedError(
+                "DART warm start (--restart-train) under feature-axis "
+                "sharding is not supported — drop --num-feat-shards "
+                "(PARITY.md known exclusions)"
+            )
+        tr = TrainData.build(
+            train, self.nthresholds, num_shards=num_shards,
+            num_feat_shards=num_feat_shards,
+        )
         va = (
             TrainData.build(
                 valid, self.nthresholds, num_shards=num_shards,
-                thresholds=np.asarray(tr.step.thresholds),
+                # valid stays feature-replicated: its descent scoring uses
+                # global feature ids over the full matrix (as in Mart.learn);
+                # slice off the train-side feature-pad threshold rows
+                thresholds=np.asarray(tr.step.thresholds)[: valid.num_features],
             )
             if valid is not None
             else None
@@ -151,10 +170,15 @@ class Dart(LambdaMart):
 
             from quickrank_tpu.parallel.mesh import shard_step_data
 
-            tr = _dc.replace(tr, step=shard_step_data(tr.step, mesh, axis))
+            tr = _dc.replace(
+                tr, step=shard_step_data(tr.step, mesh, axis, feat_axis)
+            )
             if va is not None:
                 va = _dc.replace(va, step=shard_step_data(va.step, mesh, axis))
-        cfg = self._grow_config(tr.num_bins)
+        cfg = self._grow_config(
+            tr.num_bins, feat_axis, num_feat_shards,
+            num_real_features=tr.num_real_features,
+        )
         self._train_metric = metric
         md = self._descend_depth()
         rng = np.random.default_rng(self.seed)
@@ -187,18 +211,24 @@ class Dart(LambdaMart):
                 d_va = tree.leaf_value[descend_tree_binned(va_sd.binned, tree, md)]
             return tree, d_tr, d_va, contrib
 
-        def _delta_body(ens, idx, w, sd):
+        def _delta_body(ens, idx, w, sd, fa=None):
             """Score delta of the (padded) dropped set: sum_i w_i * tree_i(x).
 
             Jitted SEPARATELY from the fused iteration: the pad length
             doubles as the dropout count grows, and recompiling this small
             descent scan costs seconds, whereas a pad-shape change inside
-            the fused pipeline would recompile the whole training step."""
+            the fused pipeline would recompile the whole training step.
+
+            ``fa`` is the feature-mesh axis when ``sd.binned`` is a
+            feature-sharded local block (2-D mesh): descent then routes via
+            the owner-psum bit (ops/scoring.py::descend_tree_binned)."""
 
             def body(acc, iw):
                 i, wi = iw
                 tree = ens.tree(i)
-                d = tree.leaf_value[descend_tree_binned(sd.binned, tree, md)]
+                d = tree.leaf_value[
+                    descend_tree_binned(sd.binned, tree, md, feat_axis=fa)
+                ]
                 return acc + wi * d, None
 
             out, _ = jax.lax.scan(
@@ -377,7 +407,7 @@ class Dart(LambdaMart):
 
             rep = P()
             Pd = P(axis)
-            tr_specs = step_data_specs(tr.step, axis)
+            tr_specs = step_data_specs(tr.step, axis, feat_axis)
             va_specs = step_data_specs(va.step, axis) if va is not None else None
             ens_specs = jax.tree.map(lambda _: rep, _ET.empty(1, 1))
             Pva = Pd if va is not None else rep
@@ -402,19 +432,20 @@ class Dart(LambdaMart):
             else:
                 iteration = lambda *a: _it_j(*a, tr.step)  # noqa: E731
 
-            def _mk_delta(sd, specs):
+            def _mk_delta(sd, specs, fa):
                 inner = jax.jit(
                     shard_map(
-                        _delta_body, mesh,
+                        lambda e, i, w, d: _delta_body(e, i, w, d, fa), mesh,
                         in_specs=(ens_specs, rep, rep, specs),
                         out_specs=Pd,
+                        check_rep=False,
                     )
                 )
                 return lambda e, i, w: inner(e, i, w, sd)
 
-            delta_tr_fn = _mk_delta(tr.step, tr_specs)
+            delta_tr_fn = _mk_delta(tr.step, tr_specs, feat_axis)
             delta_va_fn = (
-                _mk_delta(va.step, va_specs) if va is not None else None
+                _mk_delta(va.step, va_specs, None) if va is not None else None
             )
 
             def _mk_eval(sd, specs):

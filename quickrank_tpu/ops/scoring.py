@@ -65,19 +65,40 @@ def score_tree(features: jnp.ndarray, tree: Tree, max_depth: int) -> jnp.ndarray
 
 
 def descend_tree_binned(
-    binned: jnp.ndarray, tree: Tree, max_depth: int
+    binned: jnp.ndarray,
+    tree: Tree,
+    max_depth: int,
+    feat_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Same descent in bin space (training-time path: bin <= threshold_bin
-    routing is exactly the value <= threshold routing by construction)."""
-    N = binned.shape[0]
+    routing is exactly the value <= threshold routing by construction).
+
+    With ``feat_axis`` (inside a shard_map over a 2-D data x feature mesh)
+    ``binned`` is the shard-LOCAL feature block while ``tree.feature``
+    holds GLOBAL feature ids: each level, the shard owning the split
+    feature computes the routing bit and a psum over the feature axis
+    broadcasts it — the same owner-psum discipline fit_tree uses for
+    split routing (trees/grow.py do_split)."""
+    N, F = binned.shape
     node0 = jnp.zeros((N,), jnp.int32)
 
     def step(_, node):
         f = tree.feature[node]
         tb = tree.threshold_bin[node]
         leaf = tree.is_leaf[node]
-        x = jnp.take_along_axis(binned, jnp.maximum(f, 0)[:, None], axis=1)[:, 0]
-        nxt = jnp.where(x <= tb, tree.left[node], tree.right[node])
+        if feat_axis is None:
+            x = jnp.take_along_axis(
+                binned, jnp.maximum(f, 0)[:, None], axis=1
+            )[:, 0]
+            goes_left = x <= tb
+        else:
+            shard = jax.lax.axis_index(feat_axis)
+            owns = (f // F) == shard  # f = -1 on leaves: owned by no shard
+            fl = jnp.where(owns, f % F, 0)
+            x = jnp.take_along_axis(binned, fl[:, None], axis=1)[:, 0]
+            bit = ((x <= tb) & owns).astype(jnp.int32)
+            goes_left = jax.lax.psum(bit, feat_axis) > 0
+        nxt = jnp.where(goes_left, tree.left[node], tree.right[node])
         return jnp.where(leaf, node, nxt).astype(jnp.int32)
 
     return jax.lax.fori_loop(0, max_depth, step, node0)

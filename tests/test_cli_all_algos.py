@@ -198,10 +198,20 @@ def test_cli_2d_mesh_trains(svml_dir, tmp_path):
     assert out.exists()
 
 
+def test_cli_2d_mesh_trains_dart(svml_dir, tmp_path):
+    """DART over the CLI-built 2-D mesh (feature-sharded dropout descent)."""
+    out = tmp_path / "dart2d.xml"
+    _run_cli(
+        svml_dir, out,
+        ["--algo", "DART", "--num-shards", "2",
+         "--num-feat-shards", "2", "--platform", "cpu"],
+    )
+    assert out.exists()
+
+
 @pytest.mark.parametrize(
     "algo,extra",
     [
-        ("DART", []),
         ("RANKBOOST", []),
         ("COORDASC", []),
         ("LINESEARCH", []),

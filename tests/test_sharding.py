@@ -103,6 +103,56 @@ def test_dart_sharded_matches_single_device(small_splits):
     np.testing.assert_allclose(i1["train"], i4["train"], atol=1e-3)
 
 
+def test_dart_2d_mesh_matches_single_device(small_splits):
+    """DART over a data x feature mesh: the dropped-set delta kernel
+    descends feature-sharded local blocks via per-level owner-psum routing
+    bits (descend_tree_binned feat_axis) — must reproduce the single-device
+    run including iterations with a non-empty dropped set.
+
+    Feature-ONLY sharding (1 x 4) must be exact: routing bits are integer
+    decisions, so feature sharding adds no float variance at all.  The
+    data axis keeps the looser 1-D tolerance — a ~1e-7 metric-psum
+    reordering near a best_improved tie can flip a dropout bookkeeping
+    decision and cascade (the same decision-tie variance class the module
+    docstring pins for LINESEARCH)."""
+    from quickrank_tpu.learning import Dart
+    from quickrank_tpu.parallel.mesh import make_mesh_2d
+
+    train, valid, _ = small_splits
+    d1 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=3)
+    i1 = d1.learn(train, valid, Ndcg(10), verbose=False)
+    df = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=3)
+    i_f = df.learn(
+        train, valid, Ndcg(10), verbose=False, mesh=make_mesh_2d(1, 4)
+    )
+    np.testing.assert_allclose(i1["train"], i_f["train"], rtol=0, atol=1e-6)
+    np.testing.assert_allclose(i1["valid"], i_f["valid"], rtol=0, atol=1e-6)
+    d2 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=3)
+    i2 = d2.learn(
+        train, valid, Ndcg(10), verbose=False, mesh=make_mesh_2d(2, 4)
+    )
+    np.testing.assert_allclose(i1["train"], i2["train"], atol=1e-3)
+    np.testing.assert_allclose(i1["valid"], i2["valid"], atol=1e-3)
+
+
+def test_xdart_2d_mesh_matches_single_device(small_splits):
+    """X-DART (keep_drop) under the 2-D mesh: the keep/restore cond and the
+    permanent-drop compaction both consume feature-sharded descents."""
+    from quickrank_tpu.learning import Dart
+    from quickrank_tpu.parallel.mesh import make_mesh_2d
+
+    train, valid, _ = small_splits
+    kw = dict(
+        ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.4, seed=5,
+        keep_drop=True, best_on_train=True,
+    )
+    i1 = Dart(**kw).learn(train, valid, Ndcg(10), verbose=False)
+    i2 = Dart(**kw).learn(
+        train, valid, Ndcg(10), verbose=False, mesh=make_mesh_2d(2, 4)
+    )
+    np.testing.assert_allclose(i1["train"], i2["train"], atol=1e-3)
+
+
 def test_oblivious_2d_mesh_matches_single_device(small_splits):
     from quickrank_tpu.learning import ObliviousLambdaMart
     from quickrank_tpu.parallel.mesh import make_mesh_2d
