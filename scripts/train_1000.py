@@ -6,10 +6,20 @@ multiplies out.  This script runs the FULL 1000 trees for both growers on
 the real chip and records what extrapolation can't show: init / compile /
 steady breakdown, the per-100-tree iteration-time curve (does the
 iteration stay flat at tree 900?), and the final train NDCG@10.  Results
-go to docs/sweeps/<date>-train1000.json for the benchmark docs.
+go to docs/sweeps/<date>-train1000.json for the benchmark docs (merged
+into the existing file, so configurations can be added across runs).
+
+QRTPU_T1000_WITHVALID=1 adds a level-wise run with a validation set
+(~train/3 queries, MSN1 fold proportions) and early stopping disabled
+(esr=0, the labels are random), recording valid NDCG and whether the
+per-iteration time stays flat at tree 900 when every iteration also
+rescored the validation fold with the new tree.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_1000.py
-Env:   QRTPU_T1000_TREES (default 1000), QRTPU_T1000_QUERIES (19000)
+Env:   QRTPU_T1000_TREES (default 1000), QRTPU_T1000_QUERIES (19000),
+       QRTPU_T1000_WITHVALID (default 0), QRTPU_T1000_GROWERS
+       (comma list, default "level,best"; empty string skips the
+       no-validation runs)
 """
 
 from __future__ import annotations
@@ -39,19 +49,26 @@ def main():
 
     ntrees = int(os.environ.get("QRTPU_T1000_TREES", 1000))
     nq = int(os.environ.get("QRTPU_T1000_QUERIES", 19000))
+    growers = [
+        g for g in os.environ.get("QRTPU_T1000_GROWERS", "level,best").split(",")
+        if g
+    ]
+    with_valid = os.environ.get("QRTPU_T1000_WITHVALID", "0") == "1"
     t0 = time.perf_counter()
     train = _timing_dataset(nq)
     log(f"# data: {train.num_docs} docs in {time.perf_counter() - t0:.1f}s")
 
     results = {"docs": train.num_docs, "queries": train.num_queries,
                "ntrees": ntrees, "runs": {}}
-    for growth in ("level", "best"):
+
+    def run_one(name, growth, valid, esr):
         lm = LambdaMart(
             ntrees=ntrees, nleaves=16, shrinkage=0.1, nthresholds=255,
-            growth=growth, seed=1, max_depth=4 if growth == "level" else 0,
+            growth=growth, seed=1, esr=esr,
+            max_depth=4 if growth == "level" else 0,
         )
         t0 = time.perf_counter()
-        hist = lm.learn(train, None, Ndcg(10), verbose=False)
+        hist = lm.learn(train, valid, Ndcg(10), verbose=False)
         total = time.perf_counter() - t0
         it = np.asarray(hist["iter_seconds"])
         curve = [
@@ -74,14 +91,42 @@ def main():
             "final_train_ndcg10": round(float(hist["train"][-1]), 5),
             "trees_kept": int(lm.ensemble.num_trees),
         }
-        results["runs"][growth] = run
-        log(f"# {growth}: {json.dumps(run)[:400]}")
+        if valid is not None:
+            run["valid_docs"] = int(valid.num_docs)
+            run["final_valid_ndcg10"] = round(float(hist["valid"][-1]), 5)
+        results["runs"][name] = run
+        log(f"# {name}: {json.dumps(run)[:400]}")
+
+    for growth in growers:
+        run_one(growth, growth, None, 100)
+    if with_valid:
+        # MSN1 fold proportions: vali is ~train/3 by query count.  Random
+        # labels mean valid NDCG never improves, so esr=0 keeps the run at
+        # the full 1000 trees; the point is the per-iteration cost of
+        # rescoring the fold with each new tree, not the quality curve.
+        import quickrank_tpu.data.dataset as dsmod
+
+        rng = np.random.default_rng(23)
+        counts = rng.integers(38, 232, size=nq // 3)
+        n = int(counts.sum())
+        feats = rng.standard_normal((n, 136), dtype=np.float32)
+        labels = rng.integers(0, 5, n).astype(np.float32)
+        qids = np.repeat(np.arange(1, nq // 3 + 1), counts)
+        valid = dsmod.Dataset.from_arrays(feats, labels, qids, name="t1000-valid")
+        log(f"# valid: {valid.num_docs} docs / {valid.num_queries} queries")
+        run_one("level+valid", "level", valid, 0)
 
     stamp = time.strftime("%Y-%m-%d")
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "sweeps", f"{stamp}-train1000.json",
     )
+    if os.path.exists(out):  # merge: configurations accumulate across runs
+        with open(out) as f:
+            prev = json.load(f)
+        prev_runs = prev.get("runs", {})
+        prev_runs.update(results["runs"])
+        results["runs"] = prev_runs
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
