@@ -70,7 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--max-depth", type=int, default=0,
                    help="depth cap (0 = unbounded; enables fast scorer)")
     t.add_argument("--growth", default="best",
-                   help="[best|level] tree growth mode (level = TPU throughput mode)")
+                   help="[best|level|bestk] tree growth mode (level = TPU "
+                        "throughput mode; bestk = best-first priority with "
+                        "--split-pack leaves split per histogram pass)")
+    t.add_argument("--split-pack", type=int, default=8,
+                   help="max heap leaves split per histogram pass under "
+                        "--growth bestk (1 = exact best-first)")
 
     s = p.add_argument_group("selective sampling options")
     s.add_argument("--sampling-iterations", type=int, default=0)

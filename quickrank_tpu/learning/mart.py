@@ -229,6 +229,7 @@ class Mart(LTRAlgorithm):
         collapse_leaves_factor: float = 0.0,
         growth: str = "best",
         cluster: str = "auto",
+        split_pack: int = 8,
     ):
         """Defaults mirror quicklearn's training group (src/quicklearn.cc:97-140)
         except ``nthresholds``: the reference's 0 = "all unique values" is
@@ -249,10 +250,22 @@ class Mart(LTRAlgorithm):
         self.collapse_leaves_factor = float(collapse_leaves_factor)
         #: "best" = reference-faithful best-first growth; "level" = the TPU
         #: throughput mode (one packed histogram pass per level, ~4x fewer
-        #: passes; depth = max_depth or ceil(log2(nleaves)))
-        if growth not in ("best", "level"):
-            raise ValueError(f"growth must be 'best' or 'level', got {growth!r}")
+        #: passes; depth = max_depth or ceil(log2(nleaves))); "bestk" =
+        #: best-first priority with up to ``split_pack`` heap leaves split
+        #: per packed histogram pass (trees/grow_bestk.py — same gain/minls/
+        #: budget rules, ~3x fewer passes than exact best-first)
+        if growth == "best-k":
+            growth = "bestk"
+        if growth not in ("best", "level", "bestk"):
+            raise ValueError(
+                f"growth must be 'best', 'level' or 'bestk', got {growth!r}"
+            )
         self.growth = growth
+        #: max heap leaves split per histogram pass under growth="bestk"
+        #: (clamped to nleaves - 1; 1 = exact best-first).  8 keeps the
+        #: packed kernel within one pass (10 nodes x 3 channels fit 32
+        #: channel rows, ops/histogram.py::node_histograms).
+        self.split_pack = int(split_pack)
         #: node-clustered doc layout for best-first growth (an
         #: EXPERIMENTAL layout knob; trees follow the same split rule
         #: either way).  "on" forces the clustered grower (MXU partition
@@ -361,6 +374,14 @@ class Mart(LTRAlgorithm):
                 cfg, key=key, axis_name=axis_name, weights=weights,
             )
             return tree, node, True
+        if self.growth == "bestk":
+            from quickrank_tpu.trees.grow_bestk import fit_tree_bestk
+
+            tree, node = fit_tree_bestk(
+                tr.binned, grad, smask, tr.thresholds, cfg, self.split_pack,
+                key=key, axis_name=axis_name,
+            )
+            return tree, node, False
         if self._cluster_applicable(tr, cfg):
             from quickrank_tpu.trees.grow_cluster import fit_tree_clustered
 
