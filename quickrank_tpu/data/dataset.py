@@ -225,6 +225,16 @@ def shard_and_pad(
     N-axis pad inside the training step (~4 ms per histogram pass at MSLR
     scale otherwise); the cost is <=1023 zero rows per shard.
     """
+    if not isinstance(ds, Dataset):
+        # every non-Mart-family learner funnels through here: a multi-host
+        # TrainData (parallel/multihost.py) is Mart-family-only, and the
+        # AttributeError it would otherwise hit deep in layout code is not
+        # an actionable message (docs/parallel.md §multi-host exclusions)
+        raise TypeError(
+            f"shard_and_pad expects a Dataset, got {type(ds).__name__} — "
+            "multi-host TrainData feeds the Mart family only "
+            "(docs/parallel.md)"
+        )
     counts = ds.docs_per_query()
     if len(counts) < num_shards:
         raise ValueError(

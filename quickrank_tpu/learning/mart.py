@@ -710,6 +710,14 @@ class Mart(LTRAlgorithm):
         if isinstance(valid, TrainData):
             va = valid
         elif valid is not None:
+            if tr.presharded:
+                raise ValueError(
+                    "multi-host training: the validation fold must also be "
+                    "a build_train_data_multihost TrainData (same mesh, "
+                    "same thresholds) — a host-local Dataset cannot join "
+                    "the global step (docs/parallel.md multi-host "
+                    "exclusions)"
+                )
             va = TrainData.build(
                 valid,
                 self.nthresholds,

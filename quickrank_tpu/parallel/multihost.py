@@ -106,18 +106,38 @@ def build_train_data_multihost(
     thresholds: Optional[np.ndarray] = None,
 ):
     """Per-process TrainData whose step tensors are GLOBAL jax.Arrays over
-    ``mesh``'s data axis.  Every process passes its own query block; the
-    returned TrainData feeds ``Mart.learn(..., mesh=mesh)`` directly (the
-    learner detects the presharded step and skips local sharding)."""
+    ``mesh``.  Every process passes its own query block; the returned
+    TrainData feeds ``Mart.learn(..., mesh=mesh)`` directly (the learner
+    detects the presharded step and skips local sharding).
+
+    Consumers: the Mart family ONLY (MART / LambdaMART / their oblivious
+    and DART variants accept TrainData).  RankBoost and the linear rankers
+    take a plain ``Dataset`` — hand them ``local_ds`` per process is NOT
+    equivalent (their pair potentials / weight sweeps are global) and a
+    TrainData is rejected with a TypeError at shard_and_pad.  Warm starts
+    are rejected by Mart.learn (host-side rescoring gathers need the global
+    flat layout).  See docs/parallel.md §multi-host exclusions.
+
+    Meshes: 1-D ``(data,)`` or 2-D ``(data, feat)``.  For 2-D every
+    process must own whole data rows (its local devices span the full
+    feature axis), the standard DCN-outer / ICI-inner layout — feature
+    collectives then ride ICI only."""
     from jax.experimental import multihost_utils
 
     from quickrank_tpu.learning.mart import TrainData
     from quickrank_tpu.parallel.mesh import step_data_specs
 
     axis = mesh.axis_names[0]
-    n_local_shards = max(
-        1, len(mesh.local_devices)
-    )
+    feat_axis = mesh.axis_names[1] if len(mesh.axis_names) > 1 else None
+    feat_size = int(mesh.shape[feat_axis]) if feat_axis else 1
+    n_local = max(1, len(mesh.local_devices))
+    if n_local % feat_size:
+        raise ValueError(
+            f"2-D multi-host mesh: each process must own whole data rows "
+            f"(local devices {n_local} not divisible by feature-axis size "
+            f"{feat_size})"
+        )
+    n_local_shards = max(1, n_local // feat_size)
 
     # agree on the padded shard geometry
     from quickrank_tpu.data.dataset import (
@@ -145,24 +165,52 @@ def build_train_data_multihost(
 
     tr = TrainData.build(
         local_ds, nthresholds, num_shards=n_local_shards,
-        thresholds=thresholds, force_dims=force,
+        thresholds=thresholds, num_feat_shards=feat_size, force_dims=force,
     )
 
     # assemble global arrays: each field's local block + its partition
-    # spec (the same specs shard_map consumes)
-    specs = step_data_specs(tr.step, axis, None)
+    # spec (the same specs shard_map consumes).  The feature axis is fully
+    # local to every process (whole-data-row requirement above), so the
+    # local block always spans the full feature width.
+    specs = step_data_specs(tr.step, axis, feat_axis)
+    is_leaf = lambda x: isinstance(x, (jnp.ndarray, np.ndarray))  # noqa: E731
+
+    # Replicated fields (spec without the data axis, e.g. the threshold
+    # tables) must hold IDENTICAL bytes on every process — a silent
+    # mismatch would diverge the trees without erroring.  Agree on a
+    # digest up front, one allgather for all such fields.
+    import zlib
+
+    def _replicated(spec):
+        return axis not in jax.tree.leaves(tuple(spec))
+
+    digests = [
+        zlib.crc32(np.ascontiguousarray(np.asarray(x)).tobytes())
+        for x, spec in zip(
+            jax.tree.leaves(tr.step, is_leaf=is_leaf),
+            jax.tree.leaves(specs, is_leaf=lambda s: isinstance(s, P)),
+        )
+        if _replicated(spec)
+    ]
+    if digests:
+        agreed = np.asarray(
+            multihost_utils.process_allgather(
+                jnp.asarray(digests, jnp.uint32)
+            )
+        ).reshape(-1, len(digests))
+        if not (agreed == agreed[0]).all():
+            raise ValueError(
+                "multi-host TrainData: a replicated step field (e.g. the "
+                "threshold table) differs between processes — pass the "
+                "same `thresholds` everywhere or let global_thresholds "
+                f"derive them (digests per process: {agreed.tolist()})"
+            )
 
     def to_global(x, spec):
         sh = NamedSharding(mesh, spec)
-        local = np.asarray(x)
-        if spec == P():  # replicated field: identical on every process
-            return jax.make_array_from_process_local_data(sh, local)
-        return jax.make_array_from_process_local_data(sh, local)
+        return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
-    step = jax.tree.map(
-        to_global, tr.step, specs,
-        is_leaf=lambda x: isinstance(x, (jnp.ndarray, np.ndarray)),
-    )
+    step = jax.tree.map(to_global, tr.step, specs, is_leaf=is_leaf)
     import dataclasses
 
     return dataclasses.replace(tr, step=step, presharded=True)

@@ -58,14 +58,25 @@ def main():
     train = _timing_dataset(nq)
     log(f"# data: {train.num_docs} docs in {time.perf_counter() - t0:.1f}s")
 
+    # Burn-in BEFORE anything timed: the first timed loop in a process reads
+    # 2.5-6x inflated on this tunnel even after a warm+sync call (CLAUDE.md
+    # MEASUREMENT GOTCHA; the r3 artifact's 989.7 s level-wise init was
+    # exactly this hitting a cold first learn()).  A small throwaway train
+    # absorbs the artifact so every recorded run starts warm.
+    t0 = time.perf_counter()
+    burn = LambdaMart(ntrees=6, nleaves=16, nthresholds=255, seed=9,
+                      growth="level", max_depth=4, esr=0)
+    burn.learn(_timing_dataset(300), None, Ndcg(10), verbose=False)
+    log(f"# burn-in train done in {time.perf_counter() - t0:.1f}s")
+
     results = {"docs": train.num_docs, "queries": train.num_queries,
                "ntrees": ntrees, "runs": {}}
 
-    def run_one(name, growth, valid, esr):
+    def run_one(name, growth, valid, esr, **mart_kw):
         lm = LambdaMart(
             ntrees=ntrees, nleaves=16, shrinkage=0.1, nthresholds=255,
             growth=growth, seed=1, esr=esr,
-            max_depth=4 if growth == "level" else 0,
+            max_depth=4 if growth == "level" else 0, **mart_kw,
         )
         t0 = time.perf_counter()
         hist = lm.learn(train, valid, Ndcg(10), verbose=False)
@@ -80,6 +91,12 @@ def main():
             for i in range(0, len(it), 100)
         ]
         run = {
+            # per-run config: merged files can mix QRTPU_T1000_* settings,
+            # so the top-level docs/queries/ntrees alone would silently
+            # misattribute earlier runs (r3 advisor finding)
+            "docs": train.num_docs,
+            "queries": train.num_queries,
+            "ntrees": ntrees,
             "total_s": round(total, 1),
             "init_s": round(hist["init_seconds"], 1),
             "compile_iter_s": round(float(it[0]), 1),

@@ -32,6 +32,7 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/qrtpu_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 coord, pid, nproc, out_path = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+mode = sys.argv[5] if len(sys.argv) > 5 else "1d"
 jax.distributed.initialize(
     coordinator_address=coord, num_processes=nproc, process_id=pid
 )
@@ -48,18 +49,41 @@ from quickrank_tpu.parallel.multihost import (
     build_train_data_multihost, process_query_block,
 )
 
-mesh = Mesh(np.asarray(jax.devices()), ("data",))
+if mode == "2d":
+    # (data, feat) with whole data rows per process: feature collectives
+    # stay intra-process (the ICI-inner / DCN-outer layout)
+    mesh = Mesh(
+        np.asarray(jax.devices()).reshape(nproc, 2), ("data", "feat")
+    )
+else:
+    mesh = Mesh(np.asarray(jax.devices()), ("data",))
+
 full = make_ranking_dataset(
     num_queries=48, avg_docs_per_query=30, num_features=12, seed=7
 )
 local = process_query_block(full, nproc, pid)  # per-process ingestion
 tr = build_train_data_multihost(local, mesh, nthresholds=16)
 
-lm = LambdaMart(ntrees=3, nleaves=4, nthresholds=16, seed=0)
-hist = lm.learn(tr, None, Ndcg(10), verbose=False, mesh=mesh)
+va = None
+if mode == "2d":
+    # validation fold over the SAME multi-host builder (docs/parallel.md
+    # multi-host exclusions: a host-local valid Dataset is rejected)
+    vfull = make_ranking_dataset(
+        num_queries=24, avg_docs_per_query=30, num_features=12, seed=8
+    )
+    va = build_train_data_multihost(
+        process_query_block(vfull, nproc, pid), mesh, nthresholds=16,
+        thresholds=np.asarray(tr.step.thresholds),
+    )
+
+lm = LambdaMart(ntrees=3, nleaves=4, nthresholds=16, seed=0, esr=0)
+hist = lm.learn(tr, va, Ndcg(10), verbose=False, mesh=mesh)
 if pid == 0:
+    out = {"train": hist["train"]}
+    if va is not None:
+        out["valid"] = hist["valid"]
     with open(out_path, "w") as f:
-        json.dump({"train": hist["train"]}, f)
+        json.dump(out, f)
 """
 
 
@@ -71,10 +95,10 @@ def _free_port():
     return p
 
 
-def test_two_process_training_matches_single(tmp_path):
+def _run_workers(tmp_path, mode):
     port = _free_port()
     coord = f"127.0.0.1:{port}"
-    out_path = str(tmp_path / "mh.json")
+    out_path = str(tmp_path / f"mh_{mode}.json")
     script = str(tmp_path / "worker.py")
     with open(script, "w") as f:
         f.write(_WORKER)
@@ -85,7 +109,7 @@ def test_two_process_training_matches_single(tmp_path):
     )
     procs = [
         subprocess.Popen(
-            [sys.executable, script, coord, str(pid), "2", out_path],
+            [sys.executable, script, coord, str(pid), "2", out_path, mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         )
         for pid in range(2)
@@ -94,11 +118,13 @@ def test_two_process_training_matches_single(tmp_path):
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
     with open(out_path) as f:
-        mh = json.load(f)
+        return json.load(f)
 
-    # single-process oracle on the SAME full dataset, using the SAME
-    # distributed-binning threshold tables the workers agreed on (the
-    # merge is deterministic and reproducible without jax.distributed)
+
+def _single_process_oracle():
+    """Single-process run of the SAME full dataset, using the SAME
+    distributed-binning threshold tables the workers agree on (the merge
+    is deterministic and reproducible without jax.distributed)."""
     from quickrank_tpu.data.synthetic import make_ranking_dataset
     from quickrank_tpu.learning import LambdaMart
     from quickrank_tpu.learning.mart import TrainData
@@ -123,6 +149,20 @@ def test_two_process_training_matches_single(tmp_path):
     thr = merge_threshold_candidates(cand)
     tr = TrainData.build(full, 16, thresholds=thr)
     lm = LambdaMart(ntrees=3, nleaves=4, nthresholds=16, seed=0)
-    h1 = lm.learn(tr, None, Ndcg(10), verbose=False)
+    return lm.learn(tr, None, Ndcg(10), verbose=False)
+
+
+def test_two_process_training_matches_single(tmp_path):
+    mh = _run_workers(tmp_path, "1d")
+    h1 = _single_process_oracle()
     # identical thresholds -> only psum f32 reorder noise remains
+    np.testing.assert_allclose(mh["train"], h1["train"], atol=6e-3)
+
+
+def test_two_process_2d_mesh_matches_single(tmp_path):
+    """2 processes x (data=2, feat=2) mesh: the one multi-host path the
+    1-D test doesn't touch — feature-sharded binned/threshold assembly +
+    the per-leaf candidate all_gather riding intra-process devices."""
+    mh = _run_workers(tmp_path, "2d")
+    h1 = _single_process_oracle()
     np.testing.assert_allclose(mh["train"], h1["train"], atol=6e-3)
