@@ -538,6 +538,7 @@ class Dart(LambdaMart):
             print(f"# {self.NAME}: {self!r}")
         t_train = _time.time()
         iter_seconds: list[float] = []
+        dropped_per_iter: list[int] = []  # dropped-set size per iteration
         m = 0
         while T_host - dropped_before_cleaning < self.ntrees:
             m += 1
@@ -673,6 +674,7 @@ class Dart(LambdaMart):
                 self.save(f"{output_basename}.T{m + iter_offset}.xml")
                 self.ensemble = snapshot
             iter_seconds.append(_time.time() - t_iter)
+            dropped_per_iter.append(len(dropped))
             if verbose and (m < 5 or m % 10 == 0 or best_improved):
                 vtxt = f" {m_va:.6f}" if va is not None else ""
                 print(
@@ -700,6 +702,7 @@ class Dart(LambdaMart):
             "init_seconds": init_time,
             "train_seconds": _time.time() - t_train,
             "iter_seconds": iter_seconds,
+            "dropped_per_iter": dropped_per_iter,
             "metric": repr(metric),
         }
         if verbose:

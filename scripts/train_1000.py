@@ -15,11 +15,17 @@ QRTPU_T1000_WITHVALID=1 adds a level-wise run with a validation set
 per-iteration time stays flat at tree 900 when every iteration also
 rescored the validation fold with the new tree.
 
+QRTPU_T1000_LEARNABLE=1 switches to the LEARNABLE synthetic fixture
+(data/synthetic.py, the suite's quality generator) with a valid fold and
+esr=100 — BASELINE.json's "NDCG@10 parity at 1000 trees" axis: records
+the per-100-tree valid-NDCG curve, where early stopping fires, and the
+best model (previous quality evidence stopped at tree 200).
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/train_1000.py
 Env:   QRTPU_T1000_TREES (default 1000), QRTPU_T1000_QUERIES (19000),
-       QRTPU_T1000_WITHVALID (default 0), QRTPU_T1000_GROWERS
-       (comma list, default "level,best"; empty string skips the
-       no-validation runs)
+       QRTPU_T1000_WITHVALID (default 0), QRTPU_T1000_LEARNABLE (0),
+       QRTPU_T1000_GROWERS (comma list, default "level,best"; empty
+       string skips the no-validation runs)
 """
 
 from __future__ import annotations
@@ -54,6 +60,7 @@ def main():
         if g
     ]
     with_valid = os.environ.get("QRTPU_T1000_WITHVALID", "0") == "1"
+    learnable = os.environ.get("QRTPU_T1000_LEARNABLE", "0") == "1"
     t0 = time.perf_counter()
     train = _timing_dataset(nq)
     log(f"# data: {train.num_docs} docs in {time.perf_counter() - t0:.1f}s")
@@ -72,7 +79,7 @@ def main():
     results = {"docs": train.num_docs, "queries": train.num_queries,
                "ntrees": ntrees, "runs": {}}
 
-    def run_one(name, growth, valid, esr, **mart_kw):
+    def run_one(name, growth, valid, esr, train=train, **mart_kw):
         lm = LambdaMart(
             ntrees=ntrees, nleaves=16, shrinkage=0.1, nthresholds=255,
             growth=growth, seed=1, esr=esr,
@@ -94,8 +101,8 @@ def main():
             # per-run config: merged files can mix QRTPU_T1000_* settings,
             # so the top-level docs/queries/ntrees alone would silently
             # misattribute earlier runs (r3 advisor finding)
-            "docs": train.num_docs,
-            "queries": train.num_queries,
+            "docs": int(train.num_docs),
+            "queries": int(train.num_queries),
             "ntrees": ntrees,
             "total_s": round(total, 1),
             "init_s": round(hist["init_seconds"], 1),
@@ -111,11 +118,42 @@ def main():
         if valid is not None:
             run["valid_docs"] = int(valid.num_docs)
             run["final_valid_ndcg10"] = round(float(hist["valid"][-1]), 5)
+            va = np.asarray(hist["valid"])
+            run["best_valid_ndcg10"] = round(float(va.max()), 5)
+            run["best_iteration"] = int(hist["best_iteration"])
+            run["stopped_at_tree"] = int(len(va))
+            # valid-NDCG curve: value every 100 trees (quality trajectory)
+            run["valid_ndcg_per_100"] = [
+                round(float(va[min(i, len(va) - 1)]), 5)
+                for i in range(99, len(va) + 99, 100)
+            ]
         results["runs"][name] = run
         log(f"# {name}: {json.dumps(run)[:400]}")
 
-    for growth in growers:
-        run_one(growth, growth, None, 100)
+    if learnable:
+        # BASELINE.json's quality axis at the headline tree count: the
+        # learnable fixture (same generator as the suite's floors), MSN1
+        # fold proportions, esr=100 live — where does valid NDCG peak and
+        # does early stopping fire sensibly?
+        from quickrank_tpu.data.synthetic import make_ranking_dataset
+
+        t0 = time.perf_counter()
+        ltrain = make_ranking_dataset(
+            num_queries=nq, avg_docs_per_query=116, seed=31
+        )
+        lvalid = make_ranking_dataset(
+            num_queries=nq // 3, avg_docs_per_query=116, seed=32
+        )
+        log(
+            f"# learnable data: {ltrain.num_docs} train / "
+            f"{lvalid.num_docs} valid docs in "
+            f"{time.perf_counter() - t0:.1f}s"
+        )
+        for growth in growers:
+            run_one(f"{growth}+learnable", growth, lvalid, 100, train=ltrain)
+    else:
+        for growth in growers:
+            run_one(growth, growth, None, 100)
     if with_valid:
         # MSN1 fold proportions: vali is ~train/3 by query count.  Random
         # labels mean valid NDCG never improves, so esr=0 keeps the run at
