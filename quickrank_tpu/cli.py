@@ -73,7 +73,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="[best|level|bestk] tree growth mode (level = TPU "
                         "throughput mode; bestk = best-first priority with "
                         "--split-pack leaves split per histogram pass)")
-    t.add_argument("--split-pack", type=int, default=8,
+    t.add_argument("--split-pack", type=int, default=4,
                    help="max heap leaves split per histogram pass under "
                         "--growth bestk (1 = exact best-first)")
 

@@ -27,7 +27,7 @@ def _tree_kwargs(p: dict) -> dict:
         collapse_leaves_factor=p.get("collapse_leaves_factor", 0.0),
         max_depth=p.get("max_depth", 0),
         growth=p.get("growth", "best"),
-        split_pack=p.get("split_pack", 8),
+        split_pack=p.get("split_pack", 4),
     )
 
 

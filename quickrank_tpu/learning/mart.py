@@ -229,7 +229,7 @@ class Mart(LTRAlgorithm):
         collapse_leaves_factor: float = 0.0,
         growth: str = "best",
         cluster: str = "auto",
-        split_pack: int = 8,
+        split_pack: int = 4,
     ):
         """Defaults mirror quicklearn's training group (src/quicklearn.cc:97-140)
         except ``nthresholds``: the reference's 0 = "all unique values" is
@@ -262,9 +262,12 @@ class Mart(LTRAlgorithm):
             )
         self.growth = growth
         #: max heap leaves split per histogram pass under growth="bestk"
-        #: (clamped to nleaves - 1; 1 = exact best-first).  8 keeps the
-        #: packed kernel within one pass (10 nodes x 3 channels fit 32
-        #: channel rows, ops/histogram.py::node_histograms).
+        #: (clamped to nleaves - 1; 1 = exact best-first).  Default 4 from
+        #: the 2026-08-20 on-chip sweep at MSLR scale (docs/sweeps/
+        #: 2026-08-20-bestk.json): k=4 measured 0.220 s/tree median /
+        #: 0.269 p90 vs 0.288/0.372 at k=2 and 0.243/0.326 at k=8 (k=8
+        #: packs more dead channel work per round at 16 leaves) — exact
+        #: best-first is 0.437/0.554.
         self.split_pack = int(split_pack)
         #: node-clustered doc layout for best-first growth (an
         #: EXPERIMENTAL layout knob; trees follow the same split rule

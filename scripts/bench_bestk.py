@@ -59,12 +59,27 @@ def main():
         + [("level", {"growth": "level", "max_depth": 4}),
            ("best@end", {})]  # drift sentinel: repeat of config 1
     )
+    stamp = time.strftime("%Y-%m-%d")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "sweeps", f"{stamp}-bestk.json",
+    )
     results = {"docs": train.num_docs, "queries": train.num_queries,
                "ntrees": ntrees, "runs": {}}
+    if os.path.exists(out):
+        with open(out) as f:
+            results["runs"] = json.load(f).get("runs", {})
+
+    def flush():
+        # write after EVERY run: a tunnel wedge mid-battery must not lose
+        # the completed measurements (lesson of the 2026-08-20 sentinel)
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+
     for name, kw in configs:
-        kw = dict(growth="best", **{k: v for k, v in kw.items()})
+        merged = {"growth": "best", **kw}
         lm = LambdaMart(ntrees=ntrees, nleaves=16, shrinkage=0.1,
-                        nthresholds=255, seed=1, esr=0, **kw)
+                        nthresholds=255, seed=1, esr=0, **merged)
         t0 = time.perf_counter()
         hist = lm.learn(train, None, Ndcg(10), verbose=False)
         total = time.perf_counter() - t0
@@ -80,20 +95,8 @@ def main():
             "final_train_ndcg10": round(float(hist["train"][-1]), 5),
         }
         results["runs"][name] = run
+        flush()
         log(f"# {name}: {json.dumps(run)}")
-
-    stamp = time.strftime("%Y-%m-%d")
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "sweeps", f"{stamp}-bestk.json",
-    )
-    if os.path.exists(out):
-        with open(out) as f:
-            prev = json.load(f)
-        prev.get("runs", {}).update(results["runs"])
-        results["runs"] = {**prev.get("runs", {}), **results["runs"]}
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
     print(json.dumps(results))
     log(f"# written to {out}")
 

@@ -76,7 +76,22 @@ def main():
             max_depth=4 if growth == "level" else 0,
         )
 
+    stamp = time.strftime("%Y-%m-%d")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "sweeps", f"{stamp}-bins.json",
+    )
     results = {"timing_docs": train.num_docs, "runs": {}}
+    if os.path.exists(out):
+        with open(out) as f:
+            results["runs"] = json.load(f).get("runs", {})
+
+    def flush():
+        # write after EVERY run: a tunnel wedge mid-battery must not lose
+        # the completed measurements
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+
     for growth in growers:
         for nthr in bins_set:
             name = f"{growth}@{nthr}"
@@ -91,7 +106,8 @@ def main():
                 "compile_iter_s": round(float(hist["iter_seconds"][0]), 1),
                 "total_s": round(time.perf_counter() - t0, 1),
             }
-            results["runs"][name] = run
+            results["runs"].setdefault(name, {}).update(run)
+            flush()
             log(f"# {name}: {json.dumps(run)}")
 
     if not skip_quality:
@@ -111,23 +127,10 @@ def main():
                     "best_valid_ndcg10": round(float(max(hist["valid"])), 5),
                 }
                 results["runs"].setdefault(name, {}).update(q)
+                flush()
                 log(f"# quality {name}: {json.dumps(q)}")
 
-    stamp = time.strftime("%Y-%m-%d")
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "sweeps", f"{stamp}-bins.json",
-    )
-    if os.path.exists(out):
-        with open(out) as f:
-            prev = json.load(f)
-        for k, v in prev.get("runs", {}).items():
-            results["runs"].setdefault(k, {}).update(
-                {kk: vv for kk, vv in v.items()
-                 if kk not in results["runs"].get(k, {})}
-            )
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+    flush()
     print(json.dumps(results))
     log(f"# written to {out}")
 

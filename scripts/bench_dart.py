@@ -83,11 +83,27 @@ def main():
     burn.learn(_timing_dataset(300), None, Ndcg(10), verbose=False)
     log(f"# burn-in done in {time.perf_counter() - t0:.1f}s")
 
+    stamp = time.strftime("%Y-%m-%d")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "sweeps", f"{stamp}-dart.json",
+    )
     results = {"runs": {}}
+    if os.path.exists(out):
+        with open(out) as f:
+            results["runs"] = json.load(f).get("runs", {})
+
+    def flush():
+        # write after EVERY run: a tunnel wedge mid-battery must not lose
+        # the completed measurements
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
+
     train = _timing_dataset(nq)
     log(f"# MSLR-scale data: {train.num_docs} docs")
     results["runs"]["mslr"] = {"docs": train.num_docs,
                                **run_dart(train, ntrees)}
+    flush()
     log(f"# mslr: {json.dumps(results['runs']['mslr'])[:400]}")
 
     if small_nq:
@@ -95,20 +111,8 @@ def main():
         log(f"# 540k-scale data: {small.num_docs} docs")
         results["runs"]["540k"] = {"docs": small.num_docs,
                                    **run_dart(small, ntrees)}
+        flush()
         log(f"# 540k: {json.dumps(results['runs']['540k'])[:400]}")
-
-    stamp = time.strftime("%Y-%m-%d")
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "sweeps", f"{stamp}-dart.json",
-    )
-    if os.path.exists(out):
-        with open(out) as f:
-            prev = json.load(f)
-        prev.get("runs", {}).update(results["runs"])
-        results["runs"] = {**prev.get("runs", {}), **results["runs"]}
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
     print(json.dumps(results))
     log(f"# written to {out}")
 

@@ -76,8 +76,22 @@ def main():
     burn.learn(_timing_dataset(300), None, Ndcg(10), verbose=False)
     log(f"# burn-in train done in {time.perf_counter() - t0:.1f}s")
 
+    stamp = time.strftime("%Y-%m-%d")
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs", "sweeps", f"{stamp}-train1000.json",
+    )
     results = {"docs": train.num_docs, "queries": train.num_queries,
                "ntrees": ntrees, "runs": {}}
+    if os.path.exists(out):  # merge: configurations accumulate across runs
+        with open(out) as f:
+            results["runs"] = json.load(f).get("runs", {})
+
+    def flush():
+        # write after EVERY run: a tunnel wedge mid-battery must not lose
+        # a completed 1000-tree measurement
+        with open(out, "w") as f:
+            json.dump(results, f, indent=1)
 
     def run_one(name, growth, valid, esr, train=train, **mart_kw):
         lm = LambdaMart(
@@ -128,6 +142,7 @@ def main():
                 for i in range(99, len(va) + 99, 100)
             ]
         results["runs"][name] = run
+        flush()
         log(f"# {name}: {json.dumps(run)[:400]}")
 
     if learnable:
@@ -171,19 +186,7 @@ def main():
         log(f"# valid: {valid.num_docs} docs / {valid.num_queries} queries")
         run_one("level+valid", "level", valid, 0)
 
-    stamp = time.strftime("%Y-%m-%d")
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "docs", "sweeps", f"{stamp}-train1000.json",
-    )
-    if os.path.exists(out):  # merge: configurations accumulate across runs
-        with open(out) as f:
-            prev = json.load(f)
-        prev_runs = prev.get("runs", {})
-        prev_runs.update(results["runs"])
-        results["runs"] = prev_runs
-    with open(out, "w") as f:
-        json.dump(results, f, indent=1)
+    flush()
     print(json.dumps(results))
     log(f"# written to {out}")
 
