@@ -95,6 +95,9 @@ def main():
     for growth in growers:
         for nthr in bins_set:
             name = f"{growth}@{nthr}"
+            if "median_s_per_tree" in results["runs"].get(name, {}):
+                log(f"# {name}: timing already measured, skipping")
+                continue
             lm = mk(growth, nthr, t_trees)
             t0 = time.perf_counter()
             hist = lm.learn(train, None, Ndcg(10), verbose=False)
@@ -119,6 +122,9 @@ def main():
         for growth in growers:
             for nthr in bins_set:
                 name = f"{growth}@{nthr}"
+                if "final_valid_ndcg10" in results["runs"].get(name, {}):
+                    log(f"# {name}: quality already measured, skipping")
+                    continue
                 lm = mk(growth, nthr, q_trees, esr=0)
                 hist = lm.learn(qtrain, qvalid, Ndcg(10), verbose=False)
                 q = {

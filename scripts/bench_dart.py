@@ -99,14 +99,17 @@ def main():
         with open(out, "w") as f:
             json.dump(results, f, indent=1)
 
-    train = _timing_dataset(nq)
-    log(f"# MSLR-scale data: {train.num_docs} docs")
-    results["runs"]["mslr"] = {"docs": train.num_docs,
-                               **run_dart(train, ntrees)}
-    flush()
-    log(f"# mslr: {json.dumps(results['runs']['mslr'])[:400]}")
+    if "mslr" in results["runs"]:
+        log("# mslr already measured, skipping")
+    else:
+        train = _timing_dataset(nq)
+        log(f"# MSLR-scale data: {train.num_docs} docs")
+        results["runs"]["mslr"] = {"docs": train.num_docs,
+                                   **run_dart(train, ntrees)}
+        flush()
+        log(f"# mslr: {json.dumps(results['runs']['mslr'])[:400]}")
 
-    if small_nq:
+    if small_nq and "540k" not in results["runs"]:
         small = _timing_dataset(small_nq)
         log(f"# 540k-scale data: {small.num_docs} docs")
         results["runs"]["540k"] = {"docs": small.num_docs,

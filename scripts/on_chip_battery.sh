@@ -34,10 +34,33 @@ echo "== histogram kernel sweep (tile/G + one-hot variants) =="
 timeout -k 60 1800 python scripts/bench_histkernel.py 2>&1 | tee "$OUT/histkernel.txt" \
   || { echo "!! kernel sweep FAILED (rc=$?)"; FAIL=1; }
 
-echo "== headline bench (scoring + train s/tree, level+best) =="
+echo "== headline bench (scoring + train s/tree, level+bestk+best) =="
 timeout -k 60 3600 python bench.py 2>"$OUT/bench.stderr" | tee "$OUT/bench.json" \
   || { echo "!! bench FAILED (rc=$?)"; FAIL=1; }
 tail -5 "$OUT/bench.stderr"
+
+echo "== best-k A/B (exact vs k=2/4/8 vs level, 100 steady iters) =="
+# retry loop: the tunnel shows intermittent multi-minute stalls; the
+# script writes docs/sweeps/<date>-bestk.json incrementally and resumes
+for i in 1 2 3; do
+  timeout -s TERM -k 60 1800 python scripts/bench_bestk.py \
+    2>&1 | tee -a "$OUT/bestk.txt" && break
+  echo "bestk attempt $i stalled; retrying"
+done
+
+echo "== bin-count sweep (63/127/255 x level/best/bestk, timing+quality) =="
+for i in 1 2 3 4; do
+  timeout -s TERM -k 60 1800 python scripts/bench_bins.py \
+    2>&1 | tee -a "$OUT/bins.txt" && break
+  echo "bins attempt $i stalled; retrying"
+done
+
+echo "== DART per-iteration (MSLR + 540k scales, current kernels) =="
+for i in 1 2 3; do
+  timeout -s TERM -k 60 1800 python scripts/bench_dart.py \
+    2>&1 | tee -a "$OUT/dart.txt" && break
+  echo "dart attempt $i stalled; retrying"
+done
 
 if [ -n "$MSN1_DIR" ]; then
   echo "== MSN1 real-data quality floors (test-lambdamart.cc:135-137 etc.) =="

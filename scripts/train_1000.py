@@ -93,7 +93,12 @@ def main():
         with open(out, "w") as f:
             json.dump(results, f, indent=1)
 
+    resume = os.environ.get("QRTPU_T1000_RESUME", "0") == "1"
+
     def run_one(name, growth, valid, esr, train=train, **mart_kw):
+        if resume and name in results["runs"]:
+            log(f"# {name}: already measured (merged file), skipping")
+            return
         lm = LambdaMart(
             ntrees=ntrees, nleaves=16, shrinkage=0.1, nthresholds=255,
             growth=growth, seed=1, esr=esr,
