@@ -51,7 +51,7 @@ from jax.sharding import PartitionSpec as P
 
 from quickrank_tpu.learning.lambdamart import LambdaMart
 from quickrank_tpu.learning.mart import TrainData, eval_metric
-from quickrank_tpu.ops.scoring import descend_tree_binned
+from quickrank_tpu.ops.scoring import leaf_values_onehot, tree_delta_binned
 from quickrank_tpu.trees.grow import fit_tree, leaf_outputs
 from quickrank_tpu.trees.structs import EnsembleTensors, Tree
 
@@ -200,7 +200,7 @@ class Dart(LambdaMart):
             tree = leaf_outputs(
                 tree, node, grad, smask, weights=w, axis_name=axis
             )
-            d_tr = tree.leaf_value[jnp.maximum(node, 0)]
+            d_tr = leaf_values_onehot(node, tree)
             contrib = jnp.sum(jnp.abs(d_tr) * tr_sd.doc_mask)
             if axis is not None:
                 contrib = jax.lax.psum(contrib, axis)
@@ -208,7 +208,7 @@ class Dart(LambdaMart):
             if va_sd is None:
                 d_va = jnp.zeros((1,), jnp.float32)
             else:
-                d_va = tree.leaf_value[descend_tree_binned(va_sd.binned, tree, md)]
+                d_va = tree_delta_binned(va_sd.binned, tree, md)
             return tree, d_tr, d_va, contrib
 
         def _delta_body(ens, idx, w, sd, fa=None):
@@ -226,9 +226,7 @@ class Dart(LambdaMart):
             def body(acc, iw):
                 i, wi = iw
                 tree = ens.tree(i)
-                d = tree.leaf_value[
-                    descend_tree_binned(sd.binned, tree, md, feat_axis=fa)
-                ]
+                d = tree_delta_binned(sd.binned, tree, md, feat_axis=fa)
                 return acc + wi * d, None
 
             out, _ = jax.lax.scan(
@@ -848,7 +846,7 @@ class Dart(LambdaMart):
 
         def body(_, t):
             tree = ens.tree(t)
-            d = tree.leaf_value[descend_tree_binned(binned, tree, md)]
+            d = tree_delta_binned(binned, tree, md)
             return None, jnp.sum(jnp.abs(d) * doc_mask) / n_real
 
         _, contribs = jax.lax.scan(body, None, jnp.arange(ens.capacity))
@@ -857,8 +855,10 @@ class Dart(LambdaMart):
     @staticmethod
     @partial(jax.jit, static_argnames=("md",))
     def _full_rescore_j(ens: EnsembleTensors, binned, md: int):
-        """Score in bin space via per-tree descent (exact same routing as
-        training); Kahan-compensated like the Mart-family score carries.
+        """Score in bin space via the gather-free matmul descent (exact
+        same routing as training; 2026-08-20: the per-doc-gather descent
+        spiked rescore iterations to ~25 s at MSLR scale);
+        Kahan-compensated like the Mart-family score carries.
         Jitted with the data as an ARGUMENT: an eager scan would close over
         the ensemble tensors as constants and re-trace/re-compile on every
         periodic rescore (~5 s per call on the TPU tunnel)."""
@@ -866,7 +866,7 @@ class Dart(LambdaMart):
 
         def body(carry, t):
             tree = ens.tree(t)
-            d = tree.leaf_value[descend_tree_binned(binned, tree, md)]
+            d = tree_delta_binned(binned, tree, md)
             w = jnp.where(t < ens.num_trees, ens.weight[t], 0.0)
             return kahan_add(carry[0], carry[1], w * d), None
 

@@ -44,9 +44,9 @@ from quickrank_tpu.learning.base import LTRAlgorithm
 from quickrank_tpu.metrics.metrics import Metric
 from quickrank_tpu.ops.binning import apply_bins, build_thresholds
 from quickrank_tpu.ops.scoring import (
-    descend_tree_binned,
     partial_scores,
     score_ensemble,
+    tree_delta_binned,
 )
 from quickrank_tpu.parallel.mesh import (
     DATA_AXIS,
@@ -483,7 +483,9 @@ class Mart(LTRAlgorithm):
         # lambda passes).  Identical f32/Kahan updates keep the view
         # bitwise equal to re-gathering the flat array, at the cost of ONE
         # increment gather per iteration instead of one per consumer.
-        d_tr = tree.leaf_value[jnp.maximum(node, 0)]
+        from quickrank_tpu.ops.scoring import leaf_values_onehot
+
+        d_tr = leaf_values_onehot(node, tree)
         inc_tr = shrinkage * d_tr
         s_tr = kahan_add(scores_tr[0], scores_tr[1], inc_tr)
         s2_tr = kahan_add(
@@ -495,7 +497,9 @@ class Mart(LTRAlgorithm):
         m_tr = eval_metric(metric, tr, s_tr[0], axis_name, scores2d=s2_tr[0])
         if va is None:
             return ens2, s_tr + s2_tr, scores_va, m_tr, jnp.float32(jnp.nan)
-        d_va = tree.leaf_value[descend_tree_binned(va.binned, tree, md)]
+        # gather-free descent: the per-iteration valid rescore was ~0.9 s
+        # at MSLR scale through take_along_axis/table gathers
+        d_va = tree_delta_binned(va.binned, tree, md)
         inc_va = shrinkage * d_va
         s_va = kahan_add(scores_va[0], scores_va[1], inc_va)
         s2_va = kahan_add(
@@ -1216,7 +1220,7 @@ def rescore_binned(ens: EnsembleTensors, sd: StepData, max_depth: int):
 
     def body(carry, t):
         tree = ens.tree(t)
-        d = tree.leaf_value[descend_tree_binned(sd.binned, tree, max_depth)]
+        d = tree_delta_binned(sd.binned, tree, max_depth)
         w = jnp.where(t < ens.num_trees, ens.weight[t], 0.0)
         return kahan_add(carry[0], carry[1], w * d), None
 

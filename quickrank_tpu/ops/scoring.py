@@ -104,6 +104,93 @@ def descend_tree_binned(
     return jax.lax.fori_loop(0, max_depth, step, node0)
 
 
+def _onehot_read(own_f32: jnp.ndarray, table: jnp.ndarray) -> jnp.ndarray:
+    """One-hot weighted read of a tiny per-node table: f32 [N].
+
+    ``own_f32`` is the [N, max_nodes] one-hot of each doc's node id.  A
+    plain ``table[node]`` gather from even a 31-entry table lowers to a
+    ~15-20 ms serialized path at MSLR scale on this target
+    (scripts/bench_permute.py); the one-hot product/sum fuses into a
+    single VPU pass and is exact (one nonzero term per row, f32 products
+    of {0,1} weights)."""
+    return jnp.sum(own_f32 * table.astype(jnp.float32)[None, :], axis=1)
+
+
+def leaf_values_onehot(node: jnp.ndarray, tree: Tree) -> jnp.ndarray:
+    """``tree.leaf_value[node]`` without the per-doc gather: f32 [N].
+
+    Exact replacement for the reference's leaf-output read after routing
+    (rtnode.h:134-152 returns the reached leaf's avglabel); negative node
+    ids clamp to 0 like the gather path's ``jnp.maximum(node, 0)``."""
+    ids = jnp.arange(tree.max_nodes)
+    own = (
+        jnp.maximum(node, 0)[:, None] == ids[None, :]
+    ).astype(jnp.float32)
+    return _onehot_read(own, tree.leaf_value)
+
+
+def descend_tree_binned_matmul(
+    binned: jnp.ndarray, tree: Tree, max_depth: int
+) -> jnp.ndarray:
+    """Bin-space tree descent with MXU column selection instead of per-doc
+    column gathers (jnp.take_along_axis serializes ~50x slower on TPU —
+    same rationale as grow_level._route_bits).  ALL per-doc table lookups
+    (split column, threshold, child ids, leaf bit) go through one-hot
+    dots: an [N]-gather from even a 31-entry table lowers to a ~15-20 ms
+    slow path on this target (scripts/bench_permute.py's flat-gather
+    row), and descent needs four per level.  Exact: u8 bins <= 255 are
+    exact in bf16; the table dots run in f32 with one-hot weights.
+
+    Bitwise-equal to descend_tree_binned (integer compares are exact in
+    f32 for bin ids <= 255), asserted by tests/test_cluster.py."""
+    N, W = binned.shape
+    max_nodes = tree.max_nodes
+    blk = binned.astype(jnp.bfloat16)
+    node = jnp.zeros((N,), jnp.int32)
+    ids = jnp.arange(max_nodes)
+    sel = (
+        tree.feature[None, :] == jnp.arange(W)[:, None]
+    ).astype(jnp.bfloat16)  # [W, max_nodes]
+    fcols = jax.lax.dot_general(
+        blk, sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [N, max_nodes] — every node's split column for every doc
+
+    for _ in range(max_depth):
+        own = (node[:, None] == ids[None, :]).astype(jnp.float32)
+        val = jnp.sum(own * fcols, axis=1)
+        thr = _onehot_read(own, tree.threshold_bin)
+        left = _onehot_read(own, tree.left)
+        right = _onehot_read(own, tree.right)
+        leaf = _onehot_read(own, tree.is_leaf.astype(jnp.int32))
+        nxt = jnp.where(val <= thr, left, right)
+        node = jnp.where(leaf > 0, node.astype(jnp.float32), nxt).astype(
+            jnp.int32
+        )
+    return node
+
+
+def tree_delta_binned(
+    binned: jnp.ndarray,
+    tree: Tree,
+    max_depth: int,
+    feat_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Leaf value reached by every doc, in bin space: f32 [N].
+
+    The gather-free scoring delta used on every per-iteration validation
+    rescore (mart.cc:361-366's per-tree valid update) and DART's
+    dropped-set/full rescores (dart.cc:552-558): matmul descent + one-hot
+    leaf read when the feature axis is whole; under feature sharding the
+    owner-psum descent routes (local blocks can't one-hot globally) and
+    only the leaf read goes one-hot."""
+    if feat_axis is None:
+        node = descend_tree_binned_matmul(binned, tree, max_depth)
+    else:
+        node = descend_tree_binned(binned, tree, max_depth, feat_axis)
+    return leaf_values_onehot(node, tree)
+
+
 @partial(
     jax.jit, static_argnames=("max_depth", "num_trees_hint", "compensated")
 )

@@ -148,47 +148,10 @@ def build_work_buffer(
     return jnp.pad(work, ((0, n_work - N), (0, w_pad - W)))
 
 
-def descend_tree_binned_matmul(
-    binned: jnp.ndarray, tree: Tree, max_depth: int
-) -> jnp.ndarray:
-    """Bin-space tree descent with MXU column selection instead of per-doc
-    column gathers (jnp.take_along_axis serializes ~50x slower on TPU —
-    same rationale as grow_level._route_bits).  ALL per-doc table lookups
-    (split column, threshold, child ids, leaf bit) go through one-hot
-    dots: an [N]-gather from even a 31-entry table lowers to a ~15-20 ms
-    slow path on this target (scripts/bench_permute.py's flat-gather
-    row), and descent needs four per level.  Exact: u8 bins <= 255 are
-    exact in bf16; the table dots run in f32 with one-hot weights."""
-    N, W = binned.shape
-    max_nodes = tree.max_nodes
-    blk = binned.astype(jnp.bfloat16)
-    node = jnp.zeros((N,), jnp.int32)
-    ids = jnp.arange(max_nodes)
-    sel = (
-        tree.feature[None, :] == jnp.arange(W)[:, None]
-    ).astype(jnp.bfloat16)  # [W, max_nodes]
-    fcols = jax.lax.dot_general(
-        blk, sel, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [N, max_nodes] — every node's split column for every doc
-
-    def table(own_f32, t):
-        # one-hot weighted sum (fuses with `own` into a single pass; a
-        # dot would produce a layout-poisoning [N, 1])
-        return jnp.sum(own_f32 * t.astype(jnp.float32)[None, :], axis=1)
-
-    for _ in range(max_depth):
-        own = (node[:, None] == ids[None, :]).astype(jnp.float32)
-        val = jnp.sum(own * fcols, axis=1)
-        thr = table(own, tree.threshold_bin)
-        left = table(own, tree.left)
-        right = table(own, tree.right)
-        leaf = table(own, tree.is_leaf.astype(jnp.int32))
-        nxt = jnp.where(val <= thr, left, right)
-        node = jnp.where(leaf > 0, node.astype(jnp.float32), nxt).astype(
-            jnp.int32
-        )
-    return node
+# descend_tree_binned_matmul moved to ops/scoring.py (it is the general
+# gather-free descent, used by Mart/DART rescoring too); re-exported here
+# for back-compat with existing callers/tests.
+from quickrank_tpu.ops.scoring import descend_tree_binned_matmul  # noqa: E402,F401
 
 
 def _align8(x):

@@ -14,7 +14,9 @@ into docs/sweeps/<date>-dart.json.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_dart.py
 Env:   QRTPU_DART_TREES (default 30), QRTPU_DART_QUERIES (19000),
-       QRTPU_DART_SMALL_QUERIES (4600 ~ 540k docs; 0 skips)
+       QRTPU_DART_SMALL_QUERIES (4600 ~ 540k docs; 0 skips),
+       QRTPU_DART_TAG (suffixes the result keys, e.g. "@gatherfree", so
+       A/B kernel generations coexist in one sweep file)
 """
 
 from __future__ import annotations
@@ -99,23 +101,24 @@ def main():
         with open(out, "w") as f:
             json.dump(results, f, indent=1)
 
-    if "mslr" in results["runs"]:
-        log("# mslr already measured, skipping")
+    tag = os.environ.get("QRTPU_DART_TAG", "")
+    if "mslr" + tag in results["runs"]:
+        log(f"# mslr{tag} already measured, skipping")
     else:
         train = _timing_dataset(nq)
         log(f"# MSLR-scale data: {train.num_docs} docs")
-        results["runs"]["mslr"] = {"docs": train.num_docs,
-                                   **run_dart(train, ntrees)}
+        results["runs"]["mslr" + tag] = {"docs": train.num_docs,
+                                         **run_dart(train, ntrees)}
         flush()
-        log(f"# mslr: {json.dumps(results['runs']['mslr'])[:400]}")
+        log(f"# mslr{tag}: {json.dumps(results['runs']['mslr' + tag])[:400]}")
 
-    if small_nq and "540k" not in results["runs"]:
+    if small_nq and "540k" + tag not in results["runs"]:
         small = _timing_dataset(small_nq)
         log(f"# 540k-scale data: {small.num_docs} docs")
-        results["runs"]["540k"] = {"docs": small.num_docs,
-                                   **run_dart(small, ntrees)}
+        results["runs"]["540k" + tag] = {"docs": small.num_docs,
+                                         **run_dart(small, ntrees)}
         flush()
-        log(f"# 540k: {json.dumps(results['runs']['540k'])[:400]}")
+        log(f"# 540k{tag}: {json.dumps(results['runs']['540k' + tag])[:400]}")
     print(json.dumps(results))
     log(f"# written to {out}")
 
