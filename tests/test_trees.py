@@ -504,3 +504,67 @@ def test_levelwise_leaf_values_match_leaf_outputs(small_problem, newton):
         np.asarray(tree.leaf_value), np.asarray(ref.leaf_value),
         rtol=2e-5, atol=1e-6,
     )
+
+
+def test_tree_delta_binned_bitwise_matches_gather(small_problem):
+    """The gather-free scoring delta (matmul descent + one-hot leaf read,
+    ops/scoring.py::tree_delta_binned) is BITWISE the gather path
+    ``leaf_value[descend_tree_binned(...)]`` — the contract that let every
+    rescoring site (Mart valid update, DART dropped-set/full rescore)
+    switch without tolerance: one-hot products of {0,1} f32 weights are
+    exact, and integer bin compares are exact in bf16/f32."""
+    from quickrank_tpu.ops.scoring import (
+        descend_tree_binned_matmul,
+        leaf_values_onehot,
+        tree_delta_binned,
+    )
+
+    X, y = small_problem
+    b, cfg, tree, node = _fit(X, y, nleaves=8)
+    binned = jnp.asarray(b.binned)
+    ref_node = np.asarray(descend_tree_binned(binned, tree, cfg.nleaves))
+    ref = np.asarray(tree.leaf_value)[ref_node]
+    np.testing.assert_array_equal(
+        np.asarray(descend_tree_binned_matmul(binned, tree, cfg.nleaves)),
+        ref_node,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tree_delta_binned(binned, tree, cfg.nleaves)), ref
+    )
+    # leaf read alone, incl. the negative-id clamp semantics
+    node_neg = jnp.asarray(ref_node).at[0].set(-1)
+    np.testing.assert_array_equal(
+        np.asarray(leaf_values_onehot(node_neg, tree)),
+        np.asarray(tree.leaf_value)[np.maximum(np.asarray(node_neg), 0)],
+    )
+
+
+def test_tree_delta_binned_feature_sharded(small_problem):
+    """Under a feature mesh the delta routes via owner-psum descent and
+    still equals the single-device gather path."""
+    from functools import partial as _partial
+
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    from quickrank_tpu.ops.scoring import tree_delta_binned
+
+    X, y = small_problem
+    b, cfg, tree, node = _fit(X, y, nleaves=8)
+    F = b.binned.shape[1]
+    k = 2
+    Fp = (F + k - 1) // k * k
+    binned = np.pad(np.asarray(b.binned), ((0, 0), (0, Fp - F)))
+    ref = np.asarray(tree.leaf_value)[
+        np.asarray(descend_tree_binned(jnp.asarray(b.binned), tree, cfg.nleaves))
+    ]
+    devs = np.array(jax.devices("cpu")[:k])
+    with Mesh(devs, ("feat",)) as mesh:
+        fn = _shard_map(
+            _partial(tree_delta_binned, max_depth=cfg.nleaves, feat_axis="feat"),
+            mesh=mesh,
+            in_specs=(P(None, "feat"), P()),
+            out_specs=P(),
+        )
+        out = np.asarray(fn(jnp.asarray(binned), tree))
+    np.testing.assert_array_equal(out, ref)
