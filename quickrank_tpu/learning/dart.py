@@ -52,7 +52,7 @@ from jax.sharding import PartitionSpec as P
 from quickrank_tpu.learning.lambdamart import LambdaMart
 from quickrank_tpu.learning.mart import TrainData, eval_metric
 from quickrank_tpu.ops.scoring import leaf_values_onehot, tree_delta_binned
-from quickrank_tpu.trees.grow import fit_tree, leaf_outputs
+from quickrank_tpu.trees.grow import leaf_outputs
 from quickrank_tpu.trees.structs import EnsembleTensors, Tree
 
 SAMPLING_TYPES = (
@@ -193,13 +193,17 @@ class Dart(LambdaMart):
                 k1 = jax.random.fold_in(k1, jax.lax.axis_index(axis))
             smask = self._sample_mask(tr_sd, k1, presence & tr_sd.doc_mask)
             grad, w = self._gradients(tr_sd, scores_tr, smask, k2)
-            tree, node = fit_tree(
-                tr_sd.binned, grad, smask, tr_sd.thresholds, cfg, key=k3,
-                axis_name=axis,
+            # same grower dispatch as the rest of the Mart family: DART
+            # composes with growth="level"/"bestk" too (the fit is most of
+            # the 0-dropped iteration cost; dart.cc:318-323 only ever
+            # grows best-first because the reference has one grower)
+            tree, node, leaves_done = self._fit_and_assign(
+                tr_sd, grad, smask, cfg, k3, axis, weights=w
             )
-            tree = leaf_outputs(
-                tree, node, grad, smask, weights=w, axis_name=axis
-            )
+            if not leaves_done:
+                tree = leaf_outputs(
+                    tree, node, grad, smask, weights=w, axis_name=axis
+                )
             d_tr = leaf_values_onehot(node, tree)
             contrib = jnp.sum(jnp.abs(d_tr) * tr_sd.doc_mask)
             if axis is not None:

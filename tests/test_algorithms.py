@@ -60,6 +60,23 @@ def test_dart_default(splits):
     assert d.evaluate(test, Ndcg(10)) >= 0.55
 
 
+@pytest.mark.parametrize("growth", ["level", "bestk"])
+def test_dart_alternate_growers(splits, growth):
+    """DART composes with the level-wise and best-k growers through the
+    shared Mart-family dispatch (_fit_and_assign): trains, improves, and
+    scores sanely.  The reference only ever grows best-first
+    (dart.cc:318-323); growth modes are a TPU-side extension."""
+    train, valid, test = splits
+    d = Dart(
+        ntrees=12, nleaves=8, nthresholds=32, rate_drop=0.15, seed=1,
+        growth=growth, max_depth=3 if growth == "level" else 0,
+    )
+    info = d.learn(train, valid, Ndcg(10), verbose=False)
+    assert int(d.ensemble.num_trees) >= 1
+    assert info["train"][-1] > info["train"][0]
+    assert d.evaluate(test, Ndcg(10)) >= 0.5
+
+
 def test_xdart_keep_drop(splits):
     train, valid, _ = splits
     d = Dart(
