@@ -16,7 +16,9 @@ Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_dart.py
 Env:   QRTPU_DART_TREES (default 30), QRTPU_DART_QUERIES (19000),
        QRTPU_DART_SMALL_QUERIES (4600 ~ 540k docs; 0 skips),
        QRTPU_DART_TAG (suffixes the result keys, e.g. "@gatherfree", so
-       A/B kernel generations coexist in one sweep file)
+       A/B kernel generations coexist in one sweep file),
+       QRTPU_DART_GROWTH (best|level|bestk — DART composes with the
+       Mart-family growers; tag the run when not "best")
 """
 
 from __future__ import annotations
@@ -38,8 +40,10 @@ def run_dart(train, ntrees):
     from quickrank_tpu.learning import Dart
     from quickrank_tpu.metrics.metrics import Ndcg
 
+    growth = os.environ.get("QRTPU_DART_GROWTH", "best")
     d = Dart(ntrees=ntrees, nleaves=16, shrinkage=0.1, nthresholds=255,
-             rate_drop=0.1, seed=1, esr=0)
+             rate_drop=0.1, seed=1, esr=0, growth=growth,
+             max_depth=4 if growth == "level" else 0)
     t0 = time.perf_counter()
     hist = d.learn(train, None, Ndcg(10), verbose=False)
     total = time.perf_counter() - t0
