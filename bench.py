@@ -198,6 +198,28 @@ def bench_training(on_tpu: bool) -> dict:
             f"{ntrees} trees)"
         )
 
+    # DART per-iteration cost at the same MSLR-scale workload (r3 verdict
+    # next #7: keep DART's number current, not inherited from old kernels).
+    # 18 iterations ~ 14 s steady; reuses the dataset built above.
+    if os.environ.get("QRTPU_BENCH_DART", "1") != "0":
+        from quickrank_tpu.learning.dart import Dart
+
+        d = Dart(
+            ntrees=18, nleaves=16, shrinkage=0.1, nthresholds=255,
+            rate_drop=0.1, seed=1, esr=0,
+        )
+        hist = d.learn(train, None, Ndcg(10), verbose=False)
+        it = np.asarray(hist["iter_seconds"])
+        tail = it[4:]
+        out["dart_seconds_per_iter"] = float(np.median(tail))
+        out["dart_seconds_per_iter_p90"] = float(np.percentile(tail, 90))
+        out["dart_iters"] = [round(float(x), 4) for x in tail]
+        log(
+            f"# dart: compile-iter {it[0]:.1f}s, steady median "
+            f"{out['dart_seconds_per_iter']:.3f} / p90 "
+            f"{out['dart_seconds_per_iter_p90']:.3f} s/iter"
+        )
+
     # Reference-style multi-core C TRAINING baseline at the same workload
     # shape (scripts/c_train_baseline.c: OpenMP-over-features cumulative
     # histograms + sibling subtraction + max-deviance best-first; excludes
