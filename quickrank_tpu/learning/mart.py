@@ -1071,6 +1071,18 @@ class Mart(LTRAlgorithm):
                     score_perfect_pallas, feats, pe, mesh
                 )
             return np.asarray(score_perfect_pallas(jnp.asarray(feats), pe))
+        qs = self._qs_tables()
+        if qs is not None:
+            # depth-independent bitvector scoring (trees/qs.py): the TPU
+            # path for models too deep to embed — 48 ms vs 33 s descent
+            # for 1000 x 16-leaf best-first trees at 131k docs
+            from quickrank_tpu.trees.qs import score_qs
+
+            if mesh is not None:
+                from quickrank_tpu.parallel.mesh import score_rows_sharded
+
+                return score_rows_sharded(score_qs, feats, qs, mesh)
+            return np.asarray(score_qs(jnp.asarray(feats), qs))
         md = self._descend_depth()
         if mesh is not None:
             from quickrank_tpu.parallel.mesh import score_rows_sharded
@@ -1098,6 +1110,24 @@ class Mart(LTRAlgorithm):
         pe = ensemble_to_perfect(ens, max_depth=5)
         self._pe_cache = (ens, pe)
         return pe
+
+    def _qs_tables(self):
+        """QuickScorer bitvector tables (trees/qs.py) for deep models the
+        perfect embedding rejects (TPU only; Kahan-compensated like the
+        reference's double score accumulator).  Cached per ensemble."""
+        import jax as _jax
+
+        if _jax.default_backend() != "tpu":
+            return None
+        ens = self._require_model()
+        cached = getattr(self, "_qs_cache", None)
+        if cached is not None and cached[0] is ens:
+            return cached[1]
+        from quickrank_tpu.trees.qs import ensemble_to_qs
+
+        qs = ensemble_to_qs(ens)
+        self._qs_cache = (ens, qs)
+        return qs
 
     def feature_importances(
         self, num_features: Optional[int] = None, normalize: bool = True

@@ -59,8 +59,58 @@ def descend_tree(features: jnp.ndarray, tree: Tree, max_depth: int) -> jnp.ndarr
     return jax.lax.fori_loop(0, max_depth, step, node0)
 
 
+def descend_tree_matmul(
+    features: jnp.ndarray, tree: Tree, max_depth: int
+) -> jnp.ndarray:
+    """Value-space descent with one-hot column selection — the TPU path
+    for models too deep for the perfect-tree embedding (best-first
+    16-leaf trees run to depth 15; 2^15-leaf embeddings don't pay).
+
+    EXACT despite the MXU: every output element of the column-select dot
+    is a sum of exactly one nonzero product (each node has one split
+    feature), ``x * 1.0`` is exact under any bf16-pass decomposition of
+    an f32 matmul (1.0 is exact in bf16, x = hi + lo splits recombine in
+    the f32 accumulator), and ``x * 0.0`` is 0 — so the compare sees the
+    original f32 feature bit-for-bit (pinned vs the gather path by
+    tests/test_trees.py).  Rationale as descend_tree_binned_matmul: a
+    per-doc gather chain costs ~0.9 s/tree at MSLR scale."""
+    N, W = features.shape
+    max_nodes = tree.max_nodes
+    node = jnp.zeros((N,), jnp.int32)
+    ids = jnp.arange(max_nodes)
+    sel = (
+        tree.feature[None, :] == jnp.arange(W)[:, None]
+    ).astype(jnp.float32)  # [W, max_nodes]
+    fcols = jax.lax.dot_general(
+        features.astype(jnp.float32), sel, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [N, max_nodes] — every node's split column for every doc
+
+    for _ in range(max_depth):
+        own = (node[:, None] == ids[None, :]).astype(jnp.float32)
+        val = jnp.sum(own * fcols, axis=1)
+        thr = _onehot_read(own, tree.threshold)
+        left = _onehot_read(own, tree.left)
+        right = _onehot_read(own, tree.right)
+        leaf = _onehot_read(own, tree.is_leaf.astype(jnp.int32))
+        nxt = jnp.where(val <= thr, left, right)
+        node = jnp.where(leaf > 0, node.astype(jnp.float32), nxt).astype(
+            jnp.int32
+        )
+    return node
+
+
 def score_tree(features: jnp.ndarray, tree: Tree, max_depth: int) -> jnp.ndarray:
-    """Unweighted output of one tree for every doc: f32 [N]."""
+    """Unweighted output of one tree for every doc: f32 [N].
+
+    Dispatches gather descent (CPU: O(N) per level) vs matmul descent +
+    one-hot leaf read (TPU: per-doc gathers serialize ~50x slower) at
+    trace time, the same backend split ops/histogram.py uses."""
+    if jax.default_backend() == "tpu":
+        return leaf_values_onehot(
+            descend_tree_matmul(features, tree, max_depth), tree
+        )
     return tree.leaf_value[descend_tree(features, tree, max_depth)]
 
 
@@ -139,21 +189,27 @@ def descend_tree_binned_matmul(
     dots: an [N]-gather from even a 31-entry table lowers to a ~15-20 ms
     slow path on this target (scripts/bench_permute.py's flat-gather
     row), and descent needs four per level.  Exact: u8 bins <= 255 are
-    exact in bf16; the table dots run in f32 with one-hot weights.
+    exact in bf16; wider bin ids (u16 wire, nthresholds > 256) ride the
+    f32/HIGHEST-precision dot, exact to 2^24 (see descend_tree_matmul's
+    exactness argument).  The table dots run in f32 with one-hot weights.
 
-    Bitwise-equal to descend_tree_binned (integer compares are exact in
-    f32 for bin ids <= 255), asserted by tests/test_cluster.py."""
+    Bitwise-equal to descend_tree_binned, asserted by
+    tests/test_cluster.py and tests/test_trees.py."""
     N, W = binned.shape
     max_nodes = tree.max_nodes
-    blk = binned.astype(jnp.bfloat16)
     node = jnp.zeros((N,), jnp.int32)
     ids = jnp.arange(max_nodes)
+    if binned.dtype == jnp.uint8:
+        blk, selt, prec = jnp.bfloat16, jnp.bfloat16, None
+    else:
+        blk, selt, prec = jnp.float32, jnp.float32, jax.lax.Precision.HIGHEST
     sel = (
         tree.feature[None, :] == jnp.arange(W)[:, None]
-    ).astype(jnp.bfloat16)  # [W, max_nodes]
+    ).astype(selt)  # [W, max_nodes]
     fcols = jax.lax.dot_general(
-        blk, sel, (((1,), (0,)), ((), ())),
+        binned.astype(blk), sel, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        **({"precision": prec} if prec is not None else {}),
     )  # [N, max_nodes] — every node's split column for every doc
 
     for _ in range(max_depth):

@@ -1,0 +1,93 @@
+"""QuickScorer bitvector scoring (trees/qs.py): exactness vs descent.
+
+The QS path is the TPU fast path for models too deep for the perfect
+embedding; these tests pin it BITWISE to score_ensemble's compensated
+per-tree descent scan on CPU (the kernels are backend-agnostic XLA)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from quickrank_tpu.ops.scoring import score_ensemble
+from quickrank_tpu.trees.qs import ensemble_to_qs, score_qs
+from quickrank_tpu.trees.random_ensemble import (
+    random_balanced_ensemble,
+    random_bestfirst_ensemble,
+)
+
+
+def _score_ref(X, ens, md):
+    return np.asarray(
+        score_ensemble(X, ens, max_depth=md, compensated=True)
+    )
+
+
+@pytest.mark.parametrize(
+    "T,leaves,F",
+    [(40, 16, 12), (7, 16, 12), (3, 4, 5), (1, 2, 3), (25, 16, 136)],
+)
+def test_qs_bitwise_matches_descent(T, leaves, F):
+    """Random best-first-shaped (deep, asymmetric) ensembles, including
+    tree counts that don't divide the kernel group size: bitwise equal
+    to the Kahan-compensated descent scan."""
+    ens = random_bestfirst_ensemble(T, leaves, F, seed=T + leaves)
+    qs = ensemble_to_qs(ens)
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.standard_normal((257, F), dtype=np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(score_qs(X, qs)), _score_ref(X, ens, 2 * leaves)
+    )
+
+
+def test_qs_balanced_trees():
+    ens = random_balanced_ensemble(20, 4, 9, seed=2)
+    qs = ensemble_to_qs(ens)
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.standard_normal((300, 9), dtype=np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(score_qs(X, qs)), _score_ref(X, ens, 5)
+    )
+
+
+def test_qs_trained_model_roundtrip(tmp_path):
+    """A really-trained LambdaMART model (variable leaf counts from the
+    minls veto, depth past the perfect-embedding bound) scores bitwise
+    through QS tables, including after an XML save/load."""
+    from quickrank_tpu.data.synthetic import make_ranking_dataset
+    from quickrank_tpu.learning import LambdaMart
+    from quickrank_tpu.learning.base import LTRAlgorithm
+    from quickrank_tpu.metrics.metrics import Ndcg
+
+    ds = make_ranking_dataset(num_queries=40, avg_docs_per_query=20, seed=0)
+    lm = LambdaMart(
+        ntrees=10, nleaves=8, shrinkage=0.2, nthresholds=63, esr=0, seed=3
+    )
+    lm.learn(ds, None, Ndcg(10), verbose=False)
+    ens = lm.ensemble
+    X = jnp.asarray(ds.features)
+    ref = _score_ref(X, ens, lm._descend_depth())
+    np.testing.assert_array_equal(
+        np.asarray(score_qs(X, ensemble_to_qs(ens))), ref
+    )
+
+    fn = tmp_path / "m.xml"
+    lm.save(str(fn))
+    lm2 = LTRAlgorithm.load(str(fn))
+    qs2 = ensemble_to_qs(lm2.ensemble)
+    # XML text round-trips f32 exactly (%.9g), so still bitwise
+    np.testing.assert_array_equal(np.asarray(score_qs(X, qs2)), ref)
+
+
+def test_qs_dead_capacity_slots():
+    """Ensembles with capacity > num_trees (mid-training snapshots):
+    dead slots must contribute exactly like score_ensemble's zero-weight
+    Kahan steps."""
+    ens = random_bestfirst_ensemble(12, 8, 6, seed=9)
+    # simulate a partially-filled buffer: pretend only 5 trees are live
+    ens = ens.replace(num_trees=jnp.asarray(5, jnp.int32))
+    qs = ensemble_to_qs(ens)
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.standard_normal((100, 6), dtype=np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(score_qs(X, qs)), _score_ref(X, ens, 16)
+    )

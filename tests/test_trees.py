@@ -539,6 +539,38 @@ def test_tree_delta_binned_bitwise_matches_gather(small_problem):
     )
 
 
+def test_descend_tree_matmul_bitwise_value_space(small_problem):
+    """Value-space matmul descent (the TPU path for models too deep for
+    the perfect embedding) routes bitwise like the gather descent: the
+    one-hot column-select dot returns the original f32 feature exactly
+    (one nonzero product per row; x*1.0 exact under bf16-pass
+    decompositions), so f32 threshold compares are unchanged."""
+    from quickrank_tpu.ops.scoring import descend_tree_matmul
+
+    X, y = small_problem
+    b, cfg, tree, node = _fit(X, y, nleaves=8)
+    Xj = jnp.asarray(X)
+    np.testing.assert_array_equal(
+        np.asarray(descend_tree_matmul(Xj, tree, cfg.nleaves)),
+        np.asarray(descend_tree(Xj, tree, cfg.nleaves)),
+    )
+
+
+def test_descend_tree_binned_matmul_u16_bins(small_problem):
+    """Wide-bin (u16 wire, >256 bins) descent takes the f32/HIGHEST dot
+    and still routes bitwise (bf16 would corrupt bin ids > 256)."""
+    from quickrank_tpu.ops.scoring import descend_tree_binned_matmul
+
+    X, y = small_problem
+    b, cfg, tree, node = _fit(X, y, nleaves=8, nthresholds=1000)
+    assert b.num_bins > 256
+    binned = jnp.asarray(np.asarray(b.binned).astype(np.uint16))
+    np.testing.assert_array_equal(
+        np.asarray(descend_tree_binned_matmul(binned, tree, cfg.nleaves)),
+        np.asarray(descend_tree_binned(binned, tree, cfg.nleaves)),
+    )
+
+
 def test_tree_delta_binned_feature_sharded(small_problem):
     """Under a feature mesh the delta routes via owner-psum descent and
     still equals the single-device gather path."""
