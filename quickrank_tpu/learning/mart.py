@@ -1073,16 +1073,17 @@ class Mart(LTRAlgorithm):
             return np.asarray(score_perfect_pallas(jnp.asarray(feats), pe))
         qs = self._qs_tables()
         if qs is not None:
-            # depth-independent bitvector scoring (trees/qs.py): the TPU
-            # path for models too deep to embed — 48 ms vs 33 s descent
-            # for 1000 x 16-leaf best-first trees at 131k docs
-            from quickrank_tpu.trees.qs import score_qs
+            # depth-independent bitvector scoring (trees/qs.py +
+            # ops/pallas_qs.py): the TPU path for models too deep to
+            # embed — 21.7 ms vs 33 s descent for 1000 x 16-leaf
+            # best-first trees at 131k docs
+            from quickrank_tpu.ops.pallas_qs import score_qs_pallas
 
             if mesh is not None:
                 from quickrank_tpu.parallel.mesh import score_rows_sharded
 
-                return score_rows_sharded(score_qs, feats, qs, mesh)
-            return np.asarray(score_qs(jnp.asarray(feats), qs))
+                return score_rows_sharded(score_qs_pallas, feats, qs, mesh)
+            return np.asarray(score_qs_pallas(jnp.asarray(feats), qs))
         md = self._descend_depth()
         if mesh is not None:
             from quickrank_tpu.parallel.mesh import score_rows_sharded

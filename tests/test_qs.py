@@ -91,3 +91,36 @@ def test_qs_dead_capacity_slots():
     np.testing.assert_array_equal(
         np.asarray(score_qs(X, qs)), _score_ref(X, ens, 16)
     )
+
+
+@pytest.mark.parametrize("T,leaves,F", [(40, 16, 12), (9, 8, 7), (3, 4, 5)])
+def test_qs_pallas_matches_xla(T, leaves, F):
+    """The Pallas QS kernel (interpret mode on CPU) matches the XLA QS
+    scorer to f32 summation tolerance (the kernel sums tree
+    contributions in plain f32 block order instead of the per-tree
+    Kahan chain; routing and leaf picks are exact)."""
+    from quickrank_tpu.ops.pallas_qs import score_qs_pallas
+
+    ens = random_bestfirst_ensemble(T, leaves, F, seed=T + F)
+    qs = ensemble_to_qs(ens)
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.standard_normal((300, F), dtype=np.float32))
+    a = np.asarray(score_qs(X, qs))
+    b = np.asarray(score_qs_pallas(X, qs, tile_n=256, interpret=True))
+    scale = max(1.0, np.abs(a).max())
+    np.testing.assert_allclose(b, a, atol=2e-6 * scale, rtol=0)
+
+
+def test_qs_pallas_single_tree_exact():
+    """With one tree there is no summation-order freedom: the kernel's
+    leaf pick must be bitwise the XLA scorer's."""
+    from quickrank_tpu.ops.pallas_qs import score_qs_pallas
+
+    ens = random_bestfirst_ensemble(1, 16, 10, seed=11)
+    qs = ensemble_to_qs(ens)
+    rng = np.random.default_rng(2)
+    X = jnp.asarray(rng.standard_normal((300, 10), dtype=np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(score_qs_pallas(X, qs, tile_n=256, interpret=True)),
+        np.asarray(score_qs(X, qs)),
+    )
