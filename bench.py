@@ -130,6 +130,48 @@ def bench_scoring(on_tpu: bool) -> float:
     return docs_per_sec, N / dt_min
 
 
+def bench_deep_scoring(on_tpu: bool) -> float:
+    """ANY-depth (non-embeddable) model scoring via the QS bitvector path
+    (trees/qs.py; Pallas kernel ops/pallas_qs.py on TPU): 1000 best-first-
+    shaped 16-leaf trees, depth up to 15 — the DEFAULT grower's output
+    shape, which had no fast path before r4 (33.4 s gather descent)."""
+    from quickrank_tpu.trees.qs import ensemble_to_qs, score_qs
+    from quickrank_tpu.trees.random_ensemble import random_bestfirst_ensemble
+
+    N, F, T = 1 << 17, 136, 1000
+    ens = random_bestfirst_ensemble(T, 16, F, seed=5)
+    qs = jax.device_put(ensemble_to_qs(ens))
+    rng = np.random.default_rng(1)
+    feats = jax.device_put(rng.standard_normal((N, F), dtype=np.float32))
+    if on_tpu:
+        from quickrank_tpu.ops.pallas_qs import score_qs_pallas
+
+        fn = score_qs_pallas
+    else:
+        fn = score_qs
+    out = fn(feats, qs)
+    float(out[0])
+    for _ in range(4):
+        out = fn(feats + out[0] * 0.0, qs)
+    float(out[0])
+    rounds, repeats = 8, 3
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            out = fn(feats + out[0] * 0.0, qs)
+        s = float(out[0])
+        times.append((time.perf_counter() - t0) / rounds)
+    if not np.isfinite(s):
+        raise RuntimeError(f"deep scoring bench non-finite sum {s}")
+    dt = float(np.median(times))
+    log(
+        f"# deep-scored {N} docs x {T} depth<=15 trees: median "
+        f"{dt * 1e3:.2f} ms/round -> {N / dt:,.0f} docs/s"
+    )
+    return N / dt
+
+
 def _timing_dataset(num_queries: int):
     """MSLR-shaped dataset for TIMING only: float32 normals + random graded
     labels (training cost does not depend on label learnability; quality
@@ -296,6 +338,8 @@ def main():
     if os.environ.get("QRTPU_BENCH_TRAIN", "1") != "0":
         extra = bench_training(on_tpu)
     extra["scoring_docs_per_sec_min_of_3"] = docs_per_sec_min
+    if os.environ.get("QRTPU_BENCH_DEEP", "1") != "0":
+        extra["deep_scoring_docs_per_sec"] = bench_deep_scoring(on_tpu)
     extra["c_baseline_docs_per_sec"] = baseline
     extra["device"] = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
     if degraded:
