@@ -1155,6 +1155,13 @@ class Mart(LTRAlgorithm):
     def partial_scores_dataset(self, ds: Dataset) -> np.ndarray:
         ens = self._require_model()
         feats = jnp.asarray(ds.features)
+        qs = self._qs_tables()
+        if qs is not None:
+            # gather-free per-tree columns (Cleaver/LineSearch input);
+            # bitwise the descent's leaf_value[node] per tree
+            from quickrank_tpu.trees.qs import partial_scores_qs
+
+            return np.asarray(partial_scores_qs(feats, qs))
         return np.asarray(partial_scores(feats, ens, max_depth=self._descend_depth()))
 
     def get_weights(self) -> np.ndarray:

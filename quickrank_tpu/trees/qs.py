@@ -220,3 +220,51 @@ def score_qs(features: jnp.ndarray, qs: QSEnsemble) -> jnp.ndarray:
         body, (z, z), (fid_g, thr_g, excl_g, leaf_g, w_g, slots)
     )
     return out
+
+
+@jax.jit
+def partial_scores_qs(features: jnp.ndarray, qs: QSEnsemble) -> jnp.ndarray:
+    """Per-tree *unweighted* scores [N, orig_capacity] — the QS form of
+    ops/scoring.py::partial_scores (Ensemble::partial_scores_instance,
+    ensemble.cc:120-131): each tree's leaf pick comes straight out of
+    the grouped bitvector evaluation, bitwise the descent's
+    ``leaf_value[node]``.  Dead slots (t >= num_trees) are zero columns
+    (their tables are zero by construction)."""
+    N, W = features.shape
+    Tp, I = qs.fid.shape
+    L = qs.leafval.shape[1]
+    G = QS_GROUP
+    X = features.astype(jnp.float32)
+
+    fid_g = qs.fid.reshape(Tp // G, G * I)
+    thr_g = qs.thr.reshape(Tp // G, G * I)
+    excl_g = qs.excl.reshape(Tp // G, G, I, L)
+    leaf_g = qs.leafval.reshape(Tp // G, G, L)
+
+    def body(_, xs):
+        fid, thr, excl, leafval = xs
+        sel = (
+            fid[None, :] == jnp.arange(W)[:, None]
+        ).astype(jnp.float32)
+        fcols = jax.lax.dot_general(
+            X, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        false_bits = (fcols > thr[None, :]).astype(jnp.bfloat16)
+        bd = jnp.einsum(
+            "til,tu->tlui", excl.astype(jnp.float32),
+            jnp.eye(G, dtype=jnp.float32),
+        ).astype(jnp.bfloat16).reshape(G * L, G * I)
+        excluded = jax.lax.dot_general(
+            false_bits, bd, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        reached = (excluded == 0.0).reshape(N, G, L).astype(jnp.float32)
+        first = reached * (jnp.cumsum(reached, axis=2) == 1.0)
+        return None, jnp.sum(first * leafval[None, :, :], axis=2)  # [N, G]
+
+    _, cols = jax.lax.scan(body, None, (fid_g, thr_g, excl_g, leaf_g))
+    # cols: [Tp//G, N, G] -> [N, Tp]
+    out = jnp.swapaxes(cols, 0, 1).reshape(N, Tp)
+    return out[:, : qs.orig_capacity]

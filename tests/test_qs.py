@@ -124,3 +124,20 @@ def test_qs_pallas_single_tree_exact():
         np.asarray(score_qs_pallas(X, qs, tile_n=256, interpret=True)),
         np.asarray(score_qs(X, qs)),
     )
+
+
+def test_partial_scores_qs_bitwise():
+    """Per-tree columns from the QS form == ops/scoring.py::partial_scores
+    (Cleaver/LineSearch input), incl. zero columns for dead slots."""
+    from quickrank_tpu.ops.scoring import partial_scores
+    from quickrank_tpu.trees.qs import partial_scores_qs
+
+    ens = random_bestfirst_ensemble(12, 8, 6, seed=9)
+    ens = ens.replace(num_trees=jnp.asarray(9, jnp.int32))
+    qs = ensemble_to_qs(ens)
+    rng = np.random.default_rng(4)
+    X = jnp.asarray(rng.standard_normal((150, 6), dtype=np.float32))
+    a = np.asarray(partial_scores(X, ens, max_depth=16))
+    b = np.asarray(partial_scores_qs(X, qs))
+    assert b.shape == a.shape
+    np.testing.assert_array_equal(a, b)
