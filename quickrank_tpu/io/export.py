@@ -8,10 +8,11 @@ scorer — model constants embedded — serialized with ``jax.export`` as a
 portable StableHLO module.  A serving process deserializes and calls it
 with only jax installed: no quickrank_tpu, no XML model, no retracing.
 
-The exported computation is the pure-XLA ensemble scan (ops/scoring.py::
-score_ensemble with Kahan compensation — the f32 analog of the reference's
-double accumulator, ensemble.cc:111-118) or the linear dot product; the
-Pallas fast paths are runtime specializations and deliberately NOT exported
+The exported computation is the pure-XLA QuickScorer bitvector scan
+(trees/qs.py::score_qs — Kahan-compensated across trees like the
+reference's double accumulator, ensemble.cc:111-118; exact for any tree
+shape and depth-independent) or the linear dot product; the Pallas fast
+paths are runtime specializations and deliberately NOT exported
 (StableHLO portability over device-specific Mosaic payloads).  The batch
 dimension is symbolic by default so one artifact serves any batch size.
 """
@@ -90,13 +91,16 @@ def _scorer_fn(model) -> Callable:
 
         return rankboost
 
-    from quickrank_tpu.ops.scoring import score_ensemble
+    from quickrank_tpu.trees.qs import ensemble_to_qs, score_qs
 
     ens = model._require_model()
-    md = model._descend_depth() if hasattr(model, "_descend_depth") else None
+    # QS bitvector form: depth-independent (the descent scan cost L levels
+    # per tree and 33 s for a deep 1000-tree model at 131k docs; the QS
+    # scan costs 48 ms), bitwise the compensated descent (tests/test_qs.py)
+    qs = ensemble_to_qs(ens)
 
     def trees(X):
-        return score_ensemble(X, ens, max_depth=md, compensated=True)
+        return score_qs(X, qs)
 
     return trees
 
