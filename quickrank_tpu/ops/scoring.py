@@ -171,7 +171,11 @@ def leaf_values_onehot(node: jnp.ndarray, tree: Tree) -> jnp.ndarray:
 
     Exact replacement for the reference's leaf-output read after routing
     (rtnode.h:134-152 returns the reached leaf's avglabel); negative node
-    ids clamp to 0 like the gather path's ``jnp.maximum(node, 0)``."""
+    ids clamp to 0 like the gather path's ``jnp.maximum(node, 0)``.  On
+    CPU the plain gather stays (no TPU gather penalty there; bitwise
+    equal either way)."""
+    if jax.default_backend() != "tpu":
+        return tree.leaf_value[jnp.maximum(node, 0)]
     ids = jnp.arange(tree.max_nodes)
     own = (
         jnp.maximum(node, 0)[:, None] == ids[None, :]
@@ -239,11 +243,17 @@ def tree_delta_binned(
     dropped-set/full rescores (dart.cc:552-558): matmul descent + one-hot
     leaf read when the feature axis is whole; under feature sharding the
     owner-psum descent routes (local blocks can't one-hot globally) and
-    only the leaf read goes one-hot."""
+    only the leaf read goes one-hot.  On CPU (the test suite's virtual
+    devices) the gather path stays: the one-hot builds are O(N x nodes)
+    per level there with none of the TPU gather penalty.  Both paths are
+    bitwise-equal (tests/test_trees.py), so the dispatch is invisible."""
     if feat_axis is None:
-        node = descend_tree_binned_matmul(binned, tree, max_depth)
-    else:
-        node = descend_tree_binned(binned, tree, max_depth, feat_axis)
+        if jax.default_backend() == "tpu":
+            node = descend_tree_binned_matmul(binned, tree, max_depth)
+            return leaf_values_onehot(node, tree)
+        node = descend_tree_binned(binned, tree, max_depth)
+        return tree.leaf_value[node]
+    node = descend_tree_binned(binned, tree, max_depth, feat_axis)
     return leaf_values_onehot(node, tree)
 
 

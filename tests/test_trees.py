@@ -531,11 +531,22 @@ def test_tree_delta_binned_bitwise_matches_gather(small_problem):
     np.testing.assert_array_equal(
         np.asarray(tree_delta_binned(binned, tree, cfg.nleaves)), ref
     )
-    # leaf read alone, incl. the negative-id clamp semantics
+    # leaf read alone, incl. the negative-id clamp semantics (on CPU
+    # leaf_values_onehot dispatches to the gather, so pin the one-hot
+    # form itself too)
+    from quickrank_tpu.ops.scoring import _onehot_read
+
     node_neg = jnp.asarray(ref_node).at[0].set(-1)
+    expect = np.asarray(tree.leaf_value)[np.maximum(np.asarray(node_neg), 0)]
     np.testing.assert_array_equal(
-        np.asarray(leaf_values_onehot(node_neg, tree)),
-        np.asarray(tree.leaf_value)[np.maximum(np.asarray(node_neg), 0)],
+        np.asarray(leaf_values_onehot(node_neg, tree)), expect
+    )
+    ids = jnp.arange(tree.max_nodes)
+    own = (jnp.maximum(node_neg, 0)[:, None] == ids[None, :]).astype(
+        jnp.float32
+    )
+    np.testing.assert_array_equal(
+        np.asarray(_onehot_read(own, tree.leaf_value)), expect
     )
 
 
