@@ -62,6 +62,18 @@ def main(argv=None) -> int:
 
         kw["mesh"] = make_mesh(args.num_shards)
 
+    # report which fast path the dispatcher picked (docs/scoring.md)
+    if hasattr(model, "_perfect_embedding"):
+        if hasattr(model, "oblivious_ensemble"):
+            path = "oblivious bit-OR kernel"
+        elif model._perfect_embedding() is not None:
+            path = "perfect-tree embedding kernel (depth <= 5)"
+        elif model._qs_tables() is not None:
+            path = "QS bitvector kernel (any depth)"
+        else:
+            path = "batched descent scan"
+        print(f"#\t Scorer path: {path}")
+
     scores = model.score_dataset(ds, **kw)  # warm-up (includes jit compile)
     t0 = time.perf_counter()
     for _ in range(args.rounds):
