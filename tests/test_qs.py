@@ -24,7 +24,8 @@ def _score_ref(X, ens, md):
 
 @pytest.mark.parametrize(
     "T,leaves,F",
-    [(40, 16, 12), (7, 16, 12), (3, 4, 5), (1, 2, 3), (25, 16, 136)],
+    [(40, 16, 12), (7, 16, 12), (3, 4, 5), (1, 2, 3), (25, 16, 136),
+     (6, 32, 20), (5, 64, 40)],
 )
 def test_qs_bitwise_matches_descent(T, leaves, F):
     """Random best-first-shaped (deep, asymmetric) ensembles, including
