@@ -1203,6 +1203,13 @@ class Mart(LTRAlgorithm):
             "subsample": self.subsample,
             "max_features": self.max_features,
             "collapse_leaves_factor": self.collapse_leaves_factor,
+            # TPU-side extensions (harmless extra <info> tags for the
+            # reference parser, like collapse_leaves_factor above): keep
+            # the grower configuration with the model so load + resume
+            # reconstructs the same training setup
+            "growth": self.growth,
+            "split_pack": self.split_pack,
+            "max_depth": self.max_depth,
         }
 
     def _to_xml(self):
@@ -1227,6 +1234,9 @@ class Mart(LTRAlgorithm):
             esr=g(info, "estop", int, 100),
             subsample=g(info, "subsample", float, 1.0),
             max_features=g(info, "max_features", float, 1.0),
+            growth=g(info, "growth", str, "best"),
+            split_pack=g(info, "split_pack", int, 4),
+            max_depth=g(info, "max_depth", int, 0),
         )
 
     @classmethod
