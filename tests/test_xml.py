@@ -124,3 +124,24 @@ def test_dart_xml_restores_dropout_config(tmp_path, splits):
         "drop_on_best",
     ):
         assert getattr(b, attr) == getattr(a, attr), attr
+
+
+def test_grower_config_roundtrips_via_info(tmp_path):
+    """growth/split_pack/max_depth persist as extra <info> tags (like
+    collapse_leaves_factor) so load + resume reconstructs the same
+    grower; the reference parser ignores unknown info tags."""
+    from quickrank_tpu.data.synthetic import make_ranking_dataset
+    from quickrank_tpu.learning import LambdaMart
+    from quickrank_tpu.learning.base import LTRAlgorithm
+    from quickrank_tpu.metrics.metrics import Ndcg
+
+    ds = make_ranking_dataset(num_queries=20, avg_docs_per_query=12, seed=0)
+    lm = LambdaMart(
+        ntrees=4, nleaves=4, nthresholds=15, esr=0,
+        growth="bestk", split_pack=2, max_depth=3,
+    )
+    lm.learn(ds, None, Ndcg(10), verbose=False)
+    fn = tmp_path / "m.xml"
+    lm.save(str(fn))
+    lm2 = LTRAlgorithm.load(str(fn))
+    assert (lm2.growth, lm2.split_pack, lm2.max_depth) == ("bestk", 2, 3)
