@@ -340,6 +340,20 @@ def main():
     extra["scoring_docs_per_sec_min_of_3"] = docs_per_sec_min
     if os.environ.get("QRTPU_BENCH_DEEP", "1") != "0":
         extra["deep_scoring_docs_per_sec"] = bench_deep_scoring(on_tpu)
+        try:
+            import c_baseline
+
+            cb_deep = c_baseline.measure_deep(docs=20000, rounds=5)
+            extra["c_baseline_deep_docs_per_sec"] = cb_deep
+            extra["deep_vs_baseline"] = (
+                extra["deep_scoring_docs_per_sec"] / cb_deep
+            )
+            log(
+                f"# deep C baseline (condop, single thread): {cb_deep:,.0f} "
+                f"docs/s -> {extra['deep_vs_baseline']:.1f}x ours"
+            )
+        except Exception as e:  # noqa: BLE001 — toolchain failure
+            log(f"# deep C baseline failed ({e}); omitting deep_vs_baseline")
     extra["c_baseline_docs_per_sec"] = baseline
     extra["device"] = f"{dev.platform}:{getattr(dev, 'device_kind', '?')}"
     if degraded:

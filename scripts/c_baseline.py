@@ -118,13 +118,60 @@ def measure(docs: int = 20000, rounds: int = 10) -> float:
     return float(out.stdout.strip())
 
 
+class _DeepShim:
+    """Just enough surface for generate_condop()."""
+
+    def __init__(self, ens):
+        self._ens = ens
+
+    def _require_model(self):
+        return self._ens
+
+
+def measure_deep(docs: int = 20000, rounds: int = 10) -> float:
+    """Same-host C baseline for the DEEP (any-depth) scoring workload:
+    the exact random best-first-shaped 1000 x 16-leaf model
+    bench.py::bench_deep_scoring times on-chip, emitted through the
+    reference's conditional-operators generator
+    (generate_conditional_operators.cc:93-112 output format) and timed
+    with the same serial quickscore loop.  NOTE: touches jax (the model
+    builder) — call only after the device sections, unlike measure()."""
+    from quickrank_tpu.io.codegen import generate_condop
+    from quickrank_tpu.trees.random_ensemble import random_bestfirst_ensemble
+
+    ens = random_bestfirst_ensemble(1000, 16, 136, seed=5)
+    code = generate_condop(_DeepShim(ens))
+    with tempfile.TemporaryDirectory() as d:
+        src = os.path.join(d, "ranker.c")
+        exe = os.path.join(d, "ranker")
+        with open(src, "w") as f:
+            f.write(code + TIMING_MAIN)
+        t0 = time.time()
+        subprocess.run(
+            ["gcc", "-O3", "-march=native", "-o", exe, src, "-lm"],
+            check=True, timeout=600,
+        )
+        print(f"# deep condop compiled in {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        out = subprocess.run(
+            [exe, str(docs), str(rounds), "136"],
+            capture_output=True, text=True, check=True, timeout=900,
+        )
+    return float(out.stdout.strip())
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=20000)
     ap.add_argument("--rounds", type=int, default=10)
+    ap.add_argument("--deep", action="store_true",
+                    help="measure the deep condop model instead")
     args = ap.parse_args(argv)
 
-    docs_per_sec = measure(args.docs, args.rounds)
+    if args.deep:
+        docs_per_sec = measure_deep(args.docs, args.rounds)
+    else:
+        docs_per_sec = measure(args.docs, args.rounds)
     print(
         f"# {args.docs} docs x {args.rounds} rounds x 1000 trees: "
         f"{docs_per_sec:,.0f} docs/s single-thread",
