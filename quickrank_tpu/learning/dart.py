@@ -42,8 +42,6 @@ schedules; bounded by tests/test_sharding.py against seed variance).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
