@@ -103,6 +103,21 @@ def test_dart_sharded_matches_single_device(small_splits):
     np.testing.assert_allclose(i1["train"], i4["train"], atol=1e-3)
 
 
+def test_dart_bestk_sharded_matches_single_device(small_splits):
+    """DART composed with the best-k grower (shared _fit_and_assign
+    dispatch) reproduces single-device results under a data mesh."""
+    from quickrank_tpu.learning import Dart
+
+    train, valid, _ = small_splits
+    kw = dict(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=3,
+              growth="bestk", split_pack=2)
+    i1 = Dart(**kw).learn(train, valid, Ndcg(10), verbose=False)
+    i4 = Dart(**kw).learn(
+        train, valid, Ndcg(10), verbose=False, mesh=make_mesh(4)
+    )
+    np.testing.assert_allclose(i1["train"], i4["train"], atol=1e-3)
+
+
 def test_dart_2d_mesh_matches_single_device(small_splits):
     """DART over a data x feature mesh: the dropped-set delta kernel
     descends feature-sharded local blocks via per-level owner-psum routing
