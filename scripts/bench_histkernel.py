@@ -57,10 +57,16 @@ def main():
     log(f"# device: {dev.platform} {getattr(dev, 'device_kind', '?')}")
     binned, vt, pos = make_inputs()
 
-    # correctness cross-check on a slice
-    ref = node_histogram_pallas(binned[:4096], vt[:, :4096], pos[:4096], B, 0, K_NODES)
+    # correctness cross-check on a slice (G=16 explicitly: the bcast
+    # variant under the post-sweep G=32 default overflows scoped VMEM —
+    # bcast lost the sweep and is kept only as a comparison point)
+    ref = node_histogram_pallas(
+        binned[:4096], vt[:, :4096], pos[:4096], B, 0, K_NODES,
+        feat_group=16,
+    )
     got = node_histogram_pallas(
-        binned[:4096], vt[:, :4096], pos[:4096], B, 0, K_NODES, onehot="bcast"
+        binned[:4096], vt[:, :4096], pos[:4096], B, 0, K_NODES,
+        onehot="bcast", feat_group=16,
     )
     err = float(jnp.max(jnp.abs(ref - got)))
     log(f"# bcast vs current max|diff| = {err:.3e}")
