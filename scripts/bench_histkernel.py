@@ -84,7 +84,8 @@ def main():
     for tile_n in (512, 1024, 2048):
         try:
             f = lambda b, v, p: node_histogram_pallas(
-                b, v, p, B, 0, K_NODES, tile_n=tile_n, onehot="bcast"
+                b, v, p, B, 0, K_NODES, tile_n=tile_n, onehot="bcast",
+                feat_group=16,  # bcast x G=32 overflows scoped VMEM
             )
             dt = timeit(f, binned, vt, pos)
             print(f"bcast    tile={tile_n:4d}        {dt*1e3:8.2f} ms")
