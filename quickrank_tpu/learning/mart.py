@@ -1263,7 +1263,20 @@ def rescore_binned(ens: EnsembleTensors, sd: StepData, max_depth: int):
     """Full scoring pass over binned docs (used by warm restarts — the
     reference recomputes scores rather than checkpointing them,
     mart.cc:237-253).  Kahan-compensated over trees, matching the training
-    loop's compensated score carry."""
+    loop's compensated score carry.
+
+    On TPU the pass rides bin-space QS bitvector tables (trees/qs.py:
+    ``bin <= threshold_bin`` is exactly the value routing; the per-tree
+    Kahan chain is preserved, so scores are BITWISE the descent scan's —
+    tests/test_qs.py) — a 1000-tree restart at MSLR scale rescored in
+    ~60 s through per-tree descents, and MetaCleaver pays this every
+    grow-prune cycle."""
+    if jax.default_backend() == "tpu" and int(ens.num_trees) > 0:
+        from quickrank_tpu.trees.qs import ensemble_to_qs, score_qs
+
+        qs = ensemble_to_qs(ens, space="bin")
+        return score_qs(sd.binned.astype(jnp.float32), qs)
+
     from quickrank_tpu.ops.scoring import kahan_add
 
     def body(carry, t):

@@ -63,15 +63,26 @@ class QSEnsemble:
 FLT_MAX = float(np.float32(3.4028235e38))
 
 
-def ensemble_to_qs(ens) -> QSEnsemble:
+def ensemble_to_qs(ens, space: str = "value") -> QSEnsemble:
     """Host-side table build from dense EnsembleTensors (iterative —
     a chain-shaped XML import must not ride the Python recursion limit,
-    cf. trees/perfect.py::tree_depths)."""
+    cf. trees/perfect.py::tree_depths).
+
+    ``space="bin"`` builds thresholds from ``threshold_bin`` instead of
+    the value-space thresholds: scoring the BINNED tensor through the
+    same score_qs is then exactly the training-time bin routing
+    (``bin <= threshold_bin`` == ``v <= threshold`` by ops/binning.py
+    construction; bin ids are exact in the f32 compare).  Used by warm
+    restarts, which rescore from the binned tensor because raw features
+    never ship to the device (TrainData.build)."""
     T = int(ens.num_trees)
     cap = int(ens.capacity)
     max_nodes = int(ens.feature.shape[1])
     feat = np.asarray(ens.feature)
-    thrv = np.asarray(ens.threshold)
+    if space == "bin":
+        thrv = np.asarray(ens.threshold_bin).astype(np.float32)
+    else:
+        thrv = np.asarray(ens.threshold)
     left = np.asarray(ens.left)
     right = np.asarray(ens.right)
     isleaf = np.asarray(ens.is_leaf)

@@ -142,3 +142,41 @@ def test_partial_scores_qs_bitwise():
     b = np.asarray(partial_scores_qs(X, qs))
     assert b.shape == a.shape
     np.testing.assert_array_equal(a, b)
+
+
+def test_qs_bin_space_matches_rescore_scan():
+    """Bin-space QS tables (space="bin") reproduce the warm-restart
+    rescoring scan bitwise: scoring the binned tensor with threshold_bin
+    routing == the compensated per-tree descent (mart.py::rescore_binned's
+    two paths must be interchangeable)."""
+    from quickrank_tpu.data.synthetic import make_ranking_dataset
+    from quickrank_tpu.learning import LambdaMart
+    from quickrank_tpu.learning.mart import TrainData
+    from quickrank_tpu.metrics.metrics import Ndcg
+    from quickrank_tpu.ops.scoring import kahan_add, tree_delta_binned
+
+    ds = make_ranking_dataset(num_queries=30, avg_docs_per_query=15, seed=2)
+    lm = LambdaMart(
+        ntrees=6, nleaves=8, shrinkage=0.2, nthresholds=31, esr=0, seed=1
+    )
+    lm.learn(ds, None, Ndcg(10), verbose=False)
+    ens = lm.ensemble
+    td = TrainData.build(ds, 31)
+    md = lm._descend_depth()
+
+    # the scan path, exactly as rescore_binned's CPU branch
+    import jax
+    import jax.numpy as jnp2
+
+    def body(carry, t):
+        tree = ens.tree(t)
+        d = tree_delta_binned(td.step.binned, tree, md)
+        w = jnp2.where(t < ens.num_trees, ens.weight[t], 0.0)
+        return kahan_add(carry[0], carry[1], w * d), None
+
+    z = jnp2.zeros((td.step.binned.shape[0],), jnp2.float32)
+    (ref, _), _ = jax.lax.scan(body, (z, z), jnp2.arange(ens.capacity))
+
+    qs = ensemble_to_qs(ens, space="bin")
+    got = score_qs(td.step.binned.astype(jnp2.float32), qs)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
