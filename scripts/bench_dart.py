@@ -18,7 +18,9 @@ Env:   QRTPU_DART_TREES (default 30), QRTPU_DART_QUERIES (19000),
        QRTPU_DART_TAG (suffixes the result keys, e.g. "@gatherfree", so
        A/B kernel generations coexist in one sweep file),
        QRTPU_DART_GROWTH (best|level|bestk — DART composes with the
-       Mart-family growers; tag the run when not "best")
+       Mart-family growers; tag the run when not "best"),
+       QRTPU_DART_XDART=1 (keep_drop + WEIGHTED sampling + LINESEARCH
+       weighting + adaptive dropout — tag e.g. "@xdart")
 """
 
 from __future__ import annotations
@@ -41,9 +43,17 @@ def run_dart(train, ntrees):
     from quickrank_tpu.metrics.metrics import Ndcg
 
     growth = os.environ.get("QRTPU_DART_GROWTH", "best")
+    kw = {}
+    if os.environ.get("QRTPU_DART_XDART", "0") == "1":
+        # the X-DART battery config: permanent pruning when fitting after
+        # dropout improves, 16-point line-search weighting, adaptive
+        # dropout count (dart.cc:430-515 extensions)
+        kw = dict(keep_drop=True, sample_type="WEIGHTED",
+                  normalize_type="LINESEARCH",
+                  adaptive_type="PLUSHALF_RESET_LB1_UB5")
     d = Dart(ntrees=ntrees, nleaves=16, shrinkage=0.1, nthresholds=255,
              rate_drop=0.1, seed=1, esr=0, growth=growth,
-             max_depth=4 if growth == "level" else 0)
+             max_depth=4 if growth == "level" else 0, **kw)
     t0 = time.perf_counter()
     hist = d.learn(train, None, Ndcg(10), verbose=False)
     total = time.perf_counter() - t0
