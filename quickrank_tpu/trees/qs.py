@@ -99,7 +99,6 @@ def ensemble_to_qs(ens, space: str = "value") -> QSEnsemble:
     for t in range(T):
         # in-order walk: leaves numbered left-to-right; internal nodes
         # get compact slots in visit order with their leaf span recorded
-        order = []  # (node_id, leaf_start, leaf_end, left_end)
         nleaf = 0
         nint = 0
         # state: (node, phase) with an explicit stack; compute leaf spans
