@@ -59,6 +59,21 @@ def _run_cli(d, out, extra):
     assert rc == 0
 
 
+@pytest.mark.parametrize("growth", ["level", "bestk"])
+def test_cli_growth_flag(svml_dir, tmp_path, splits, growth):
+    """--growth level/bestk train end-to-end through the CLI and produce
+    loadable, scoreable models that remember their grower config."""
+    out = tmp_path / f"g_{growth}.xml"
+    _run_cli(
+        svml_dir, out,
+        ["--algo", "LAMBDAMART", "--growth", growth, "--split-pack", "2"],
+    )
+    loaded = LTRAlgorithm.load(str(out))
+    assert loaded.growth == growth
+    scores = loaded.score_dataset(splits[2])
+    assert np.isfinite(scores).all()
+
+
 @pytest.mark.parametrize("algo", ALGOS)
 def test_cli_trains_all_algos_default_flags(svml_dir, tmp_path, splits, algo):
     out = tmp_path / f"{algo}.xml"
