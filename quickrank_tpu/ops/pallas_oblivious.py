@@ -43,14 +43,22 @@ def _kernel(feats_ref, s_ref, thr_ref, wleaf_ref, out_ref, *, T, D, L, TB):
     tile_n = x.shape[0]
     # The MXU computes bf16 x bf16 -> f32, which would round the features
     # (comparisons near thresholds would flip), so split x into three bf16
-    # planes (3 x 8 mantissa bits >= f32's 24 bits) — each matmul is a pure
-    # one-hot selection, hence exact, and the f32 sum reconstructs the value.
+    # planes (3 x 8 mantissa bits >= f32's 24 bits) CONCATENATED along the
+    # feature axis: the one-hot selector row repeats across the three
+    # sections, so ONE K=3F dot returns hi + mid + lo = x exactly in the
+    # f32 accumulator (2026-08-20: one wide dot beats three K=F dots ~1.5x
+    # in MXU passes — same trick as ops/pallas_qs.py).
     hi32 = x.astype(jnp.bfloat16).astype(jnp.float32)
     rem = x - hi32
     mid32 = rem.astype(jnp.bfloat16).astype(jnp.float32)
-    hi = hi32.astype(jnp.bfloat16)
-    mid = mid32.astype(jnp.bfloat16)
-    lo = (rem - mid32).astype(jnp.bfloat16)
+    planes = jnp.concatenate(
+        [
+            hi32.astype(jnp.bfloat16),
+            mid32.astype(jnp.bfloat16),
+            (rem - mid32).astype(jnp.bfloat16),
+        ],
+        axis=1,
+    )  # [tile_n, 3F]
 
     # Rows of s_ref/thr_ref are laid out d-major (row d*T + t), so per tree
     # block the D bit planes come from D strided static slices — no sublane
@@ -61,22 +69,10 @@ def _kernel(feats_ref, s_ref, thr_ref, wleaf_ref, out_ref, *, T, D, L, TB):
         for d in range(D):
             r0 = d * T + b * TB
             s_blk = s_ref[r0 : r0 + TB, :]
-            sel = (
-                jax.lax.dot_general(
-                    s_blk, hi,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                + jax.lax.dot_general(
-                    s_blk, mid,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                + jax.lax.dot_general(
-                    s_blk, lo,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            sel = jax.lax.dot_general(
+                s_blk, planes,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )  # [TB, TILE_N]
             bit = (sel > thr_ref[r0 : r0 + TB, :]).astype(jnp.int32)
             idx = idx + (bit << (D - 1 - d))
@@ -117,9 +113,11 @@ def score_oblivious_pallas(
     # device; XLA folds it when the model is a compile-time constant).
     # d-major row layout: row d*T + t holds (tree t, level d).
     fid_dm = jnp.swapaxes(ens.fid, 0, 1).reshape(-1)
-    S = (
+    S1 = (
         fid_dm[:, None] == jnp.arange(F, dtype=jnp.int32)[None, :]
-    ).astype(jnp.bfloat16)  # [D*T, F] one-hot selector
+    ).astype(jnp.bfloat16)  # [D*T, F]
+    # repeated across the three bf16-plane sections (K = 3F single dot)
+    S = jnp.concatenate([S1, S1, S1], axis=1)  # [D*T, 3F]
     thr = jnp.swapaxes(ens.thr, 0, 1).reshape(-1, 1)  # [D*T, 1]
 
     n_pad = _round_up(max(N, tile_n), tile_n)
@@ -134,7 +132,9 @@ def score_oblivious_pallas(
         grid=grid,
         in_specs=[
             pl.BlockSpec((tile_n, F), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((T * D, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (T * D, 3 * F), lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec((T * D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],

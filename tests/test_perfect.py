@@ -41,35 +41,15 @@ def test_embedding_scores_match_descent(capped_model, splits):
     assert pe is not None
     feats = jnp.asarray(test.features[:128])
     ref = np.asarray(score_ensemble(feats, capped_model.ensemble, max_depth=16))
-    # interpret-mode pallas on CPU
-    from quickrank_tpu.ops import pallas_perfect as pp
-    from functools import partial
-    import jax
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    # interpret-mode pallas on CPU, through the public entry point
+    from quickrank_tpu.ops.pallas_perfect import score_perfect_pallas
 
-    T, I = pe.fid.shape
-    D = pe.depth
-    L = 2**D
-    live = (jnp.arange(T) < pe.num_trees).astype(jnp.float32)
-    wleaf = pe.leaf * (pe.weight * live)[:, None]
-    fid_nm = jnp.swapaxes(pe.fid, 0, 1).reshape(-1)
-    S = (fid_nm[:, None] == jnp.arange(feats.shape[1], dtype=jnp.int32)[None, :]).astype(jnp.bfloat16)
-    thr = jnp.swapaxes(pe.thr, 0, 1).reshape(-1, 1)
-    out = pl.pallas_call(
-        partial(pp._kernel, T=T, D=D, TB=T, tile_n=128),
-        out_shape=jax.ShapeDtypeStruct((1, 128), jnp.float32),
-        grid=(1,),
-        in_specs=[
-            pl.BlockSpec((128, feats.shape[1]), lambda i: (i, 0)),
-            pl.BlockSpec((I * T, feats.shape[1]), lambda i: (0, 0)),
-            pl.BlockSpec((I * T, 1), lambda i: (0, 0)),
-            pl.BlockSpec((T, L), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, 128), lambda i: (0, 0)),
-        interpret=True,
-    )(feats, S, thr, wleaf)
-    got = np.asarray(out).reshape(-1)
+    got = np.asarray(
+        score_perfect_pallas(
+            feats, pe, tile_n=128, tree_block=int(pe.fid.shape[0]),
+            interpret=True,
+        )
+    )
     np.testing.assert_allclose(ref, got, atol=1e-4)
 
 
