@@ -180,3 +180,36 @@ def test_qs_bin_space_matches_rescore_scan():
     qs = ensemble_to_qs(ens, space="bin")
     got = score_qs(td.step.binned.astype(jnp2.float32), qs)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_qs_stump_mix():
+    """An ensemble mixing a stump (root is a leaf) with a real tree: the
+    stump excludes nothing and always yields its root value."""
+    from quickrank_tpu.trees.structs import EnsembleTensors
+
+    T, max_nodes = 2, 3
+    feature = np.full((T, max_nodes), -1, np.int32)
+    feature[1, 0] = 0
+    threshold = np.zeros((T, max_nodes), np.float32)
+    threshold[1, 0] = 0.5
+    left = np.zeros((T, max_nodes), np.int32)
+    right = np.zeros((T, max_nodes), np.int32)
+    left[1, 0], right[1, 0] = 1, 2
+    is_leaf = np.ones((T, max_nodes), bool)
+    is_leaf[1, 0] = False
+    leaf_value = np.zeros((T, max_nodes), np.float32)
+    leaf_value[0, 0] = 3.0
+    leaf_value[1, 1] = 1.0
+    leaf_value[1, 2] = -2.0
+    ens = EnsembleTensors(
+        feature=jnp.asarray(feature), threshold=jnp.asarray(threshold),
+        threshold_bin=jnp.zeros((T, max_nodes), jnp.int32),
+        left=jnp.asarray(left), right=jnp.asarray(right),
+        is_leaf=jnp.asarray(is_leaf), leaf_value=jnp.asarray(leaf_value),
+        weight=jnp.asarray([0.5, 1.0], jnp.float32),
+        num_trees=jnp.asarray(2, jnp.int32),
+    )
+    X = jnp.asarray(np.array([[0.0], [1.0]], np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(score_qs(X, ensemble_to_qs(ens))), _score_ref(X, ens, 3)
+    )
