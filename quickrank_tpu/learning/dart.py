@@ -878,6 +878,17 @@ class Dart(LambdaMart):
 
     @classmethod
     def _full_rescore(cls, ens: EnsembleTensors, td: TrainData, md: int):
+        if jax.default_backend() == "tpu" and int(ens.num_trees) > 0:
+            # bin-space QS bitvector pass (trees/qs.py): the host table
+            # build is ~60 ms per 1000 trees and the scoring pass ~0.3 s
+            # at MSLR scale vs ~2 s for the per-tree scan; the per-tree
+            # Kahan chain is preserved, so scores are bitwise the scan's
+            # (same construction as mart.py::rescore_binned, pinned by
+            # tests/test_qs.py).
+            from quickrank_tpu.trees.qs import ensemble_to_qs, score_qs
+
+            qs = ensemble_to_qs(ens, space="bin")
+            return score_qs(td.step.binned.astype(jnp.float32), qs)
         return cls._full_rescore_j(ens, td.step.binned, md)
 
     def _info_dict(self) -> dict:
