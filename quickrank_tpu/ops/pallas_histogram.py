@@ -20,6 +20,7 @@ on the TPU path; ops/histogram.py dispatches here on TPU devices.
 
 from __future__ import annotations
 
+import math
 from functools import partial
 
 import jax
@@ -33,6 +34,21 @@ CH_PAD = 8  # minimum channel-row padding (one sublane tile)
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _bin_pad(num_bins: int, G: int) -> int:
+    """Smallest bin-axis pad such that a G-feature column group spans a
+    whole number of 128-lane tiles: ``(G * Bp) % LANES == 0``.
+
+    The "repeat" one-hot layout interleaves features within a group
+    (column = bin * G + feature), so the LANE-tiling constraint applies to
+    the fused G*Bp axis, not to Bp itself — at the sweep-recommended 63
+    bins with G=32 this gives Bp=64, halving the Ω(docs × feats × bins)
+    one-hot build (77 % of the training step at 2.56M docs) and the MXU N
+    dimension versus rounding every feature's bin axis up to 128.
+    """
+    step = LANES // math.gcd(G, LANES)
+    return _round_up(num_bins, step)
 
 
 def _kernel(binned_ref, chan_ref, out_ref, *, F, Bp, G, tile_n):
@@ -162,7 +178,7 @@ def _node_kernel(
     jax.jit,
     static_argnames=(
         "num_bins", "n0", "k", "tile_n", "feat_group", "onehot", "skip_empty",
-        "f_used",
+        "f_used", "interpret",
     ),
 )
 def node_histogram_pallas(
@@ -173,10 +189,11 @@ def node_histogram_pallas(
     n0: int,
     k: int,
     tile_n: int = 1024,
-    feat_group: int = 32,
+    feat_group: int = 0,
     onehot: str = "repeat",
     skip_empty: bool = True,
     f_used: int = 0,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """hist[f, b, i*C + c] = sum_{n: pos[n] == n0+i} values_t[c, n]
     [binned[n, f] == b]  ->  [F, B, k*C].
@@ -194,8 +211,23 @@ def node_histogram_pallas(
     C = values_t.shape[0]
     ch = k * C
     ch_pad = _round_up(max(ch, CH_PAD), 8)
+    if feat_group <= 0:
+        # 2026-08-20 on-chip sweep (scripts/bench_bins_kernel.py): G=32 wins
+        # at >=127 bins (47.5 vs 51.7 ms at 255); G=64 wins once the packed
+        # bin pad is sub-128 (20.7 vs 22.4 ms at 63 bins, 15.8 vs 20.2 at
+        # 31) — the wider group amortizes the per-group chunk handling that
+        # dominates once the one-hot shrinks.  Guard on F so tiny problems
+        # don't pay 8x feature padding.
+        feat_group = 64 if (num_bins <= 64 and F >= 64) else 32
     G = feat_group
-    Bp = _round_up(num_bins, LANES)
+    # "bcast" writes per-feature [*, f*Bp:(f+1)*Bp] output slices, which are
+    # lane-aligned only when Bp is a LANES multiple; "repeat" works on the
+    # fused G*Bp axis and supports the packed sub-128 bin pad (63 bins ->
+    # Bp=64 at G=32: two features share each 128-lane tile).
+    Bp = (
+        _round_up(num_bins, LANES) if onehot == "bcast"
+        else _bin_pad(num_bins, G)
+    )
     n_pad = _round_up(max(N, tile_n), tile_n)
     Fp = _round_up(F, G)
     # fold the node ids in as one more f32 channel row (ids < 2^24 exact);
@@ -231,6 +263,7 @@ def node_histogram_pallas(
         out_specs=pl.BlockSpec(
             (ch_pad, Fp * Bp), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
     )(binned, vals)
     if onehot == "bcast":  # feature-major output, no interleave to undo
         hist = out[:ch].reshape(ch, Fp, Bp)[:, :F, :num_bins]
@@ -240,13 +273,16 @@ def node_histogram_pallas(
     return jnp.moveaxis(hist, 0, -1)
 
 
-@partial(jax.jit, static_argnames=("num_bins", "tile_n", "feat_group"))
+@partial(
+    jax.jit, static_argnames=("num_bins", "tile_n", "feat_group", "interpret")
+)
 def histogram_pallas(
     binned: jnp.ndarray,
     values: jnp.ndarray,
     num_bins: int,
     tile_n: int = 0,
     feat_group: int = 0,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """hist[f, b, c] = sum_n values[n, c] [binned[n, f] == b]  ->  [F, B, C].
 
@@ -269,7 +305,7 @@ def histogram_pallas(
         tile_n = 1024
     if feat_group <= 0:
         feat_group = 32
-    Bp = _round_up(num_bins, LANES)
+    Bp = _bin_pad(num_bins, feat_group)
     n_pad = _round_up(max(N, tile_n), tile_n)
     if n_pad != N:
         # pad docs carry zero channel values, so any bin id is harmless
@@ -299,6 +335,7 @@ def histogram_pallas(
         out_specs=pl.BlockSpec(
             (ch_pad, Fp * Bp), lambda i: (0, 0), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
     )(binned, vp)
     # out column layout per G-group: col = b * G + g  (tile-repeat order)
     # [CH_PAD, Fp*Bp] -> [C, n_groups, Bp, G] -> [C, n_groups, G, Bp]

@@ -221,41 +221,16 @@ def test_pallas_histogram_matches_scatter(small_problem):
 
 
 def _hist_interpret(binned, values, num_bins):
-    """histogram_pallas with interpret=True (CPU test path)."""
-    from functools import partial as _p
+    """histogram_pallas in interpret mode (CPU test path).
 
-    import jax
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    feat_group=4 makes the wrapper's packed bin pad sub-128 here
+    (Bp = round_up(num_bins, 32)), so the lane-sharing layout the TPU
+    uses at <=64 production bins is exercised by this CPU test."""
     from quickrank_tpu.ops import pallas_histogram as ph
 
-    # replicate the wrapper with interpret mode
-    N, F = binned.shape
-    C = values.shape[-1]
-    Bp = ph._round_up(num_bins, ph.LANES)
-    tile_n = 128
-    n_pad = ph._round_up(max(N, tile_n), tile_n)
-    binned = jnp.pad(binned, ((0, n_pad - N), (0, 0)), constant_values=-1)
-    values = jnp.pad(values, ((0, n_pad - N), (0, 0)))
-    vp = jnp.pad(values.astype(jnp.float32), ((0, 0), (0, ph.CH_PAD - C)))
-    G = 4
-    Fp = ph._round_up(F, G)
-    if Fp != F:
-        binned = jnp.pad(binned, ((0, 0), (0, Fp - F)), constant_values=-1)
-    out = pl.pallas_call(
-        _p(ph._kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n),
-        out_shape=jax.ShapeDtypeStruct((ph.CH_PAD, Fp * Bp), jnp.float32),
-        grid=(n_pad // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, Fp), lambda i: (i, 0)),
-            pl.BlockSpec((tile_n, ph.CH_PAD), lambda i: (i, 0)),
-        ],
-        out_specs=pl.BlockSpec((ph.CH_PAD, Fp * Bp), lambda i: (0, 0)),
-        interpret=True,
-    )(binned, vp)
-    hist = out[:C].reshape(C, Fp // G, Bp, G)
-    hist = jnp.swapaxes(hist, 2, 3).reshape(C, Fp, Bp)[:, :F, :num_bins]
-    return jnp.moveaxis(hist, 0, -1)
+    return ph.histogram_pallas(
+        binned, values, num_bins, tile_n=128, feat_group=4, interpret=True
+    )
 
 
 @pytest.mark.parametrize("onehot", ["repeat", "bcast"])
@@ -265,9 +240,6 @@ def test_node_pallas_histogram_matches_scatter(small_problem, onehot):
     node_histograms path over every (node, feature, bin, channel) cell,
     for both one-hot builds (tile-repeat interleaved / per-feature
     broadcast)."""
-    from functools import partial as _p
-
-    from jax.experimental import pallas as pl
     from quickrank_tpu.ops import pallas_histogram as ph
     from quickrank_tpu.ops.histogram import doc_channels, node_histograms_scatter
 
@@ -286,43 +258,18 @@ def test_node_pallas_histogram_matches_scatter(small_problem, onehot):
         )
     )
 
-    # replicate node_histogram_pallas's wrapper with interpret=True
-    n0, k, tile_n, G = 0, 4, 128, 4
+    # the real wrapper in interpret mode (feat_group=4 -> sub-128 bin pad
+    # on the "repeat" layout, Bp=round_up(num_bins, 32))
+    k = 4
     binned = jnp.asarray(b.binned)
     vt = jnp.where(mask[:, None], chan, 0.0).T
     F = binned.shape[1]
-    ch_pad = ph._round_up(max(k * C, ph.CH_PAD), 8)
-    Bp = ph._round_up(num_bins, ph.LANES)
-    n_pad = ph._round_up(max(N, tile_n), tile_n)
-    Fp = ph._round_up(F, G)
-    vals = jnp.concatenate(
-        [vt.astype(jnp.float32), node.astype(jnp.float32)[None, :]], axis=0
-    )
-    binned = jnp.pad(binned, ((0, n_pad - N), (0, Fp - F)))
-    vals = jnp.pad(vals, ((0, 0), (0, n_pad - N)))
-    out = pl.pallas_call(
-        _p(ph._node_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n, n0=n0, k=k, C=C,
-           onehot=onehot),
-        out_shape=jax.ShapeDtypeStruct((ch_pad, Fp * Bp), jnp.float32),
-        grid=(n_pad // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, Fp), lambda i: (i, 0)),
-            pl.BlockSpec((C + 1, tile_n), lambda i: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((ch_pad, Fp * Bp), lambda i: (0, 0)),
-        interpret=True,
-    )(binned, vals)
-    if onehot == "bcast":
-        hist = out[: k * C].reshape(k * C, Fp, Bp)[:, :F, :num_bins]
-    else:
-        hist = out[: k * C].reshape(k * C, Fp // G, Bp, G)
-        hist = jnp.swapaxes(hist, 2, 3).reshape(k * C, Fp, Bp)[
-            :, :F, :num_bins
-        ]
+    h = ph.node_histogram_pallas(
+        binned, vt, node, num_bins, 0, k,
+        tile_n=128, feat_group=4, onehot=onehot, interpret=True,
+    )  # [F, B, k*C]
     got = np.asarray(
-        jnp.moveaxis(
-            jnp.moveaxis(hist, 0, -1).reshape(F, num_bins, k, C), 2, 0
-        )
+        jnp.moveaxis(h.reshape(F, num_bins, k, C), 2, 0)
     )
     # pad docs carry node id 0 but zero values — they must not perturb node 0
     np.testing.assert_allclose(ref[..., 0], got[..., 0], atol=1e-5)
@@ -334,9 +281,6 @@ def test_masked_histogram_t_mask_as_node(small_problem):
     two-node pos row (in-mask docs -> node 0, rest -> node 1), k=1 on the
     packed node kernel (interpret mode on CPU) — must equal the
     masked_histogram scatter reference for the same subset."""
-    from functools import partial as _p
-
-    from jax.experimental import pallas as pl
     from quickrank_tpu.ops import pallas_histogram as ph
     from quickrank_tpu.ops.histogram import (
         doc_channels, masked_histogram_scatter, masked_histogram_t,
@@ -365,34 +309,15 @@ def test_masked_histogram_t_mask_as_node(small_problem):
     )
     np.testing.assert_allclose(ref, got_cpu, rtol=1e-6, atol=1e-6)
 
-    # the TPU branch's exact construction, kernel in interpret mode
+    # the TPU branch's exact construction, wrapper in interpret mode
     pos = jnp.where(subset, 0, 1).astype(jnp.int32)
-    n0, k, tile_n, G = 0, 1, 128, 4
     binned = jnp.asarray(b.binned)
-    F = binned.shape[1]
-    ch_pad = ph._round_up(max(k * C, ph.CH_PAD), 8)
-    Bp = ph._round_up(num_bins, ph.LANES)
-    n_pad = ph._round_up(max(N, tile_n), tile_n)
-    Fp = ph._round_up(F, G)
-    vals = jnp.concatenate(
-        [chan_t.astype(jnp.float32), pos.astype(jnp.float32)[None, :]], axis=0
+    got = np.asarray(
+        ph.node_histogram_pallas(
+            binned, chan_t, pos, num_bins, 0, 1,
+            tile_n=128, feat_group=4, interpret=True,
+        )
     )
-    binned = jnp.pad(binned, ((0, n_pad - N), (0, Fp - F)))
-    vals = jnp.pad(vals, ((0, 0), (0, n_pad - N)))
-    out = pl.pallas_call(
-        _p(ph._node_kernel, F=Fp, Bp=Bp, G=G, tile_n=tile_n, n0=n0, k=k, C=C),
-        out_shape=jax.ShapeDtypeStruct((ch_pad, Fp * Bp), jnp.float32),
-        grid=(n_pad // tile_n,),
-        in_specs=[
-            pl.BlockSpec((tile_n, Fp), lambda i: (i, 0)),
-            pl.BlockSpec((C + 1, tile_n), lambda i: (0, i)),
-        ],
-        out_specs=pl.BlockSpec((ch_pad, Fp * Bp), lambda i: (0, 0)),
-        interpret=True,
-    )(binned, vals)
-    hist = out[:C].reshape(C, Fp // G, Bp, G)
-    hist = jnp.swapaxes(hist, 2, 3).reshape(C, Fp, Bp)[:, :F, :num_bins]
-    got = np.asarray(jnp.moveaxis(hist, 0, -1))
     np.testing.assert_allclose(ref[..., 0], got[..., 0], atol=1e-5)
     np.testing.assert_allclose(ref[..., 1], got[..., 1], rtol=2e-4, atol=1e-4)
 
