@@ -1053,6 +1053,20 @@ class Mart(LTRAlgorithm):
         score_rows_sharded — the mesh analog of the per-doc OpenMP loop,
         ensemble.cc:96-123); the same fast-path dispatch applies per shard.
         """
+        if mesh is not None:
+            from quickrank_tpu.parallel.mesh import score_rows_sharded
+
+            fn, tables, feats = self._dispatch_scorer(ds)
+            return score_rows_sharded(fn, feats, tables, mesh)
+        fn, X = self.device_scorer(ds)
+        return np.asarray(fn(X))
+
+    def _dispatch_scorer(self, ds: Dataset):
+        """(scorer_fn, model_tables, host_feats): the fast-path dispatch —
+        oblivious bit-OR is handled by the _ObliviousFit override; here
+        perfect embedding (depth <= 5) → QS bitvector (any depth, 21.6 ms
+        vs 33 s descent for 1000 x 16-leaf best-first trees at 131k docs)
+        → batched descent."""
         ens = self._require_model()
         pe = self._perfect_embedding()
         feats = ds.features
@@ -1064,36 +1078,24 @@ class Mart(LTRAlgorithm):
             if compact is not None:
                 feats, fid_c = compact
                 pe = pe.replace(fid=jnp.asarray(fid_c))
-            if mesh is not None:
-                from quickrank_tpu.parallel.mesh import score_rows_sharded
-
-                return score_rows_sharded(
-                    score_perfect_pallas, feats, pe, mesh
-                )
-            return np.asarray(score_perfect_pallas(jnp.asarray(feats), pe))
+            return score_perfect_pallas, pe, feats
         qs = self._qs_tables()
         if qs is not None:
-            # depth-independent bitvector scoring (trees/qs.py +
-            # ops/pallas_qs.py): the TPU path for models too deep to
-            # embed — 21.7 ms vs 33 s descent for 1000 x 16-leaf
-            # best-first trees at 131k docs
             from quickrank_tpu.ops.pallas_qs import score_qs_pallas
 
-            if mesh is not None:
-                from quickrank_tpu.parallel.mesh import score_rows_sharded
+            return score_qs_pallas, qs, feats
+        return _descent_scorer(self._descend_depth()), ens, feats
 
-                return score_rows_sharded(score_qs_pallas, feats, qs, mesh)
-            return np.asarray(score_qs_pallas(jnp.asarray(feats), qs))
-        md = self._descend_depth()
-        if mesh is not None:
-            from quickrank_tpu.parallel.mesh import score_rows_sharded
-
-            return score_rows_sharded(
-                _descent_scorer(md), feats, ens, mesh
-            )
-        return np.asarray(
-            score_ensemble(jnp.asarray(feats), ens, max_depth=md)
-        )
+    def device_scorer(self, ds: Dataset):
+        """(fn, dev_feats) for device-resident loops: ``fn`` maps the
+        pre-uploaded (possibly feature-compacted) array to device scores
+        with no host round-trip, same dispatch as score_dataset.
+        quickscore.py chains timing rounds through it so the reported
+        per-doc time matches the reference's pure in-memory loop
+        (quickscore.cc:100-106) instead of paying a features upload and
+        numpy conversion per round."""
+        fn, tables, feats = self._dispatch_scorer(ds)
+        return (lambda X: fn(X, tables)), jnp.asarray(feats)
 
     def _perfect_embedding(self):
         """Perfect-tree form for the fast scoring kernel (TPU only; trees
@@ -1271,7 +1273,14 @@ def rescore_binned(ens: EnsembleTensors, sd: StepData, max_depth: int):
     tests/test_qs.py) — a 1000-tree restart at MSLR scale rescored in
     ~60 s through per-tree descents, and MetaCleaver pays this every
     grow-prune cycle."""
-    if jax.default_backend() == "tpu" and int(ens.num_trees) > 0:
+    if (
+        jax.default_backend() == "tpu"
+        and jax.process_count() == 1
+        and int(ens.num_trees) > 0
+    ):
+        # Single-controller only (see Dart._full_rescore): the host-built
+        # QS tables are process-local; a multihost-global ``sd.binned``
+        # in the same jit would raise incompatible-devices.
         from quickrank_tpu.trees.qs import ensemble_to_qs, score_qs
 
         qs = ensemble_to_qs(ens, space="bin")

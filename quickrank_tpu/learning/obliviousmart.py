@@ -134,13 +134,13 @@ class _ObliviousFit:
             num_trees=jnp.asarray(T, jnp.int32),
         )
 
-    def score_dataset(self, ds, tree_chunk: int = 0, mesh=None) -> np.ndarray:
-        """Scores via the symmetric-tree fast path.  With ``mesh`` the doc
-        rows fan out over every mesh axis (parallel/mesh.py::
-        score_rows_sharded), the bit-OR Pallas kernel running per shard."""
-        obl = self.oblivious_ensemble()
+    def _dispatch_scorer(self, ds, tree_chunk: int = 0):
+        """Oblivious override of Mart's dispatch: the bit-OR fast path
+        (Pallas on TPU, level-table scorer elsewhere).  Also serves
+        device_scorer, so quickscore.py's timing loop stays device-side."""
         import jax
 
+        obl = self.oblivious_ensemble()
         feats = ds.features
         if jax.default_backend() == "tpu":
             from quickrank_tpu.ops.pallas_oblivious import score_oblivious_pallas
@@ -150,22 +150,19 @@ class _ObliviousFit:
             if compact is not None:
                 feats, fid_c = compact
                 obl = obl.replace(fid=jnp.asarray(fid_c))
-            if mesh is not None:
-                from quickrank_tpu.parallel.mesh import score_rows_sharded
+            return score_oblivious_pallas, obl, feats
+        return _oblivious_scorer(tree_chunk), obl, feats
 
-                return score_rows_sharded(
-                    score_oblivious_pallas, feats, obl, mesh
-                )
-            return np.asarray(score_oblivious_pallas(jnp.asarray(feats), obl))
+    def score_dataset(self, ds, tree_chunk: int = 0, mesh=None) -> np.ndarray:
+        """Scores via the symmetric-tree fast path.  With ``mesh`` the doc
+        rows fan out over every mesh axis (parallel/mesh.py::
+        score_rows_sharded), the bit-OR Pallas kernel running per shard."""
+        fn, obl, feats = self._dispatch_scorer(ds, tree_chunk)
         if mesh is not None:
             from quickrank_tpu.parallel.mesh import score_rows_sharded
 
-            return score_rows_sharded(
-                _oblivious_scorer(tree_chunk), feats, obl, mesh
-            )
-        return np.asarray(
-            score_oblivious(jnp.asarray(feats), obl, tree_chunk=tree_chunk)
-        )
+            return score_rows_sharded(fn, feats, obl, mesh)
+        return np.asarray(fn(jnp.asarray(feats), obl))
 
 
 class ObliviousMart(_ObliviousFit, Mart):

@@ -184,7 +184,10 @@ def score_perfect_pallas(
             (8, tile_n), lambda i, j: (i // 8, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # Both "arbitrary": 8 doc-tile iterations share one (8, tile_n)
+            # output block (index map i // 8) — see ops/pallas_qs.py for
+            # the megacore race this avoids; sequential on v5e either way.
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(features, S, thr_nm, wleaf)

@@ -200,7 +200,14 @@ def score_qs_pallas(
             (8, tile_n), lambda i, j: (i // 8, 0), memory_space=pltpu.VMEM
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            # BOTH dims "arbitrary": 8 consecutive doc-tile iterations
+            # read-modify-write one (8, tile_n) output block (index map
+            # i // 8), so a "parallel" dim 0 would race if Mosaic ever
+            # partitioned it across cores at a non-8-aligned boundary
+            # (megacore targets).  Single-core v5e executes sequentially
+            # either way — the measured win is the tree-block streaming,
+            # not cross-tile parallelism.
+            dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(features, S, thr_col, excl_bd, tri, wleaf)

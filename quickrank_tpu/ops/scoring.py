@@ -192,10 +192,10 @@ def descend_tree_binned_matmul(
     (split column, threshold, child ids, leaf bit) go through one-hot
     dots: an [N]-gather from even a 31-entry table lowers to a ~15-20 ms
     slow path on this target (scripts/bench_permute.py's flat-gather
-    row), and descent needs four per level.  Exact: u8 bins <= 255 are
-    exact in bf16; wider bin ids (u16 wire, nthresholds > 256) ride the
-    f32/HIGHEST-precision dot, exact to 2^24 (see descend_tree_matmul's
-    exactness argument).  The table dots run in f32 with one-hot weights.
+    row), and descent needs four per level.  Exact: bin ids of any width
+    ride the f32/HIGHEST-precision dot, exact to 2^24 (see
+    descend_tree_matmul's exactness argument).  The table dots run in f32
+    with one-hot weights.
 
     Bitwise-equal to descend_tree_binned, asserted by
     tests/test_cluster.py and tests/test_trees.py."""
@@ -203,17 +203,17 @@ def descend_tree_binned_matmul(
     max_nodes = tree.max_nodes
     node = jnp.zeros((N,), jnp.int32)
     ids = jnp.arange(max_nodes)
-    if binned.dtype == jnp.uint8:
-        blk, selt, prec = jnp.bfloat16, jnp.bfloat16, None
-    else:
-        blk, selt, prec = jnp.float32, jnp.float32, jax.lax.Precision.HIGHEST
+    # f32/HIGHEST for every input dtype: bin ids are exact to 2^24.  (A
+    # bf16 fast path for u8 inputs existed but was dead — StepData.binned
+    # is built i32, mart.py — and would silently misroute if a caller
+    # ever paired u8 data with >255-bin thresholds; r5 removed it.)
     sel = (
         tree.feature[None, :] == jnp.arange(W)[:, None]
-    ).astype(selt)  # [W, max_nodes]
+    ).astype(jnp.float32)  # [W, max_nodes]
     fcols = jax.lax.dot_general(
-        binned.astype(blk), sel, (((1,), (0,)), ((), ())),
+        binned.astype(jnp.float32), sel, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        **({"precision": prec} if prec is not None else {}),
+        precision=jax.lax.Precision.HIGHEST,
     )  # [N, max_nodes] — every node's split column for every doc
 
     for _ in range(max_depth):

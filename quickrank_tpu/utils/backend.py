@@ -32,6 +32,23 @@ def device_responsive(timeout_s: int = 150) -> bool:
         return False
 
 
+def enable_compile_cache(cache_dir: str | None = None) -> str:
+    """Point jax at the persistent compilation cache so repeat CLI runs
+    skip the 25-45 s/grower jit compile (the reference binary starts
+    training instantly, src/quicklearn.cc:89 — without this every
+    ``quicklearn-tpu`` invocation paid the compile that bench.py and the
+    test suite already avoided).  Called by the CLIs and driver.run;
+    idempotent.  Override the location with ``QRTPU_CACHE_DIR``."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "QRTPU_CACHE_DIR", "/tmp/qrtpu_jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    return cache_dir
+
+
 def force_cpu(num_devices: int = 1) -> None:
     """Pin jax to host CPU (optionally with virtual devices).  Must run
     before any device/backend use — the platform locks on first touch."""

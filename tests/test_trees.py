@@ -513,8 +513,8 @@ def test_tree_delta_binned_feature_sharded(small_problem):
     from functools import partial as _partial
 
     from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map as _shard_map
 
+    from quickrank_tpu.parallel.mesh import shard_map as _shard_map
     from quickrank_tpu.ops.scoring import tree_delta_binned
 
     X, y = small_problem
@@ -530,7 +530,7 @@ def test_tree_delta_binned_feature_sharded(small_problem):
     with Mesh(devs, ("feat",)) as mesh:
         fn = _shard_map(
             _partial(tree_delta_binned, max_depth=cfg.nleaves, feat_axis="feat"),
-            mesh=mesh,
+            mesh,
             in_specs=(P(None, "feat"), P()),
             out_specs=P(),
         )
