@@ -212,9 +212,18 @@ def bench_training(on_tpu: bool) -> dict:
     # variance (the committed 1000-tree run's per-100-tree medians swing
     # 0.37-0.45), so the r3 8-iteration window systematically read ~20%
     # fast (r3 verdict weak #2).
-    for growth, ntrees in (("level", 12), ("bestk", 16), ("best", 34)):
+    # The 255-bin rows are the default-config record; the @63 rows pin the
+    # framework's FASTEST measured configuration (the bins sweep's
+    # recommended --num-thresholds 63 on the r5 packed-bin-pad kernel,
+    # docs/sweeps/2026-08-20-bins-r5.json) in the driver-captured artifact
+    # instead of leaving it in a sweep file (r4 verdict weak #5).
+    for growth, nthr, ntrees in (
+        ("level", 255, 12), ("bestk", 255, 16), ("best", 255, 34),
+        ("level", 63, 16), ("bestk", 63, 16),
+    ):
+        tag = growth if nthr == 255 else f"{growth}{nthr}"
         lm = LambdaMart(
-            ntrees=ntrees, nleaves=16, shrinkage=0.1, nthresholds=255,
+            ntrees=ntrees, nleaves=16, shrinkage=0.1, nthresholds=nthr,
             growth=growth, seed=1, max_depth=4 if growth == "level" else 0,
         )
         t0 = time.perf_counter()
@@ -223,17 +232,17 @@ def bench_training(on_tpu: bool) -> dict:
         iters = hist["iter_seconds"]
         tail = iters[4:] if len(iters) > 4 else iters[-1:]
         steady = float(np.median(tail))
-        out[f"lambdamart_train_seconds_per_tree_{growth}"] = steady
-        out[f"lambdamart_train_seconds_per_tree_{growth}_min"] = float(
+        out[f"lambdamart_train_seconds_per_tree_{tag}"] = steady
+        out[f"lambdamart_train_seconds_per_tree_{tag}_min"] = float(
             min(tail)
         )
-        out[f"lambdamart_train_seconds_per_tree_{growth}_p90"] = float(
+        out[f"lambdamart_train_seconds_per_tree_{tag}_p90"] = float(
             np.percentile(tail, 90)
         )
-        out[f"lambdamart_train_iters_{growth}"] = [round(x, 4) for x in tail]
-        out[f"lambdamart_train_docs_per_sec_{growth}"] = train.num_docs / steady
+        out[f"lambdamart_train_iters_{tag}"] = [round(x, 4) for x in tail]
+        out[f"lambdamart_train_docs_per_sec_{tag}"] = train.num_docs / steady
         log(
-            f"# {growth}-growth: init {hist['init_seconds']:.1f}s, "
+            f"# {tag}-growth: init {hist['init_seconds']:.1f}s, "
             f"compile-iter {iters[0]:.1f}s, steady median {steady:.3f} / min "
             f"{min(tail):.3f} / p90 "
             f"{np.percentile(tail, 90):.3f} s/tree ({total:.1f}s total for "
@@ -242,12 +251,15 @@ def bench_training(on_tpu: bool) -> dict:
 
     # DART per-iteration cost at the same MSLR-scale workload (r3 verdict
     # next #7: keep DART's number current, not inherited from old kernels).
-    # 18 iterations ~ 14 s steady; reuses the dataset built above.
+    # r5: the delta-scan pad ladder is pre-compiled at learn() entry
+    # (learning/dart.py), so this window no longer contains pad-doubling
+    # recompiles — the r4 capture's 2-4 s spikes were exactly those (r4
+    # verdict weak #1); 22 iterations also cover a periodic-rescore cycle.
     if os.environ.get("QRTPU_BENCH_DART", "1") != "0":
         from quickrank_tpu.learning.dart import Dart
 
         d = Dart(
-            ntrees=18, nleaves=16, shrinkage=0.1, nthresholds=255,
+            ntrees=22, nleaves=16, shrinkage=0.1, nthresholds=255,
             rate_drop=0.1, seed=1, esr=0,
         )
         hist = d.learn(train, None, Ndcg(10), verbose=False)
@@ -294,6 +306,27 @@ def bench_training(on_tpu: bool) -> dict:
                 f"({cb['threads']} threads) -> "
                 f"{out['train_vs_baseline']:.1f}x ours"
             )
+            # 63-bin head-to-head: the C trainer re-run with 63-bin
+            # histograms (its scatter fill is bin-count independent, so
+            # this mostly re-times the gain scan) vs our fastest @63 row
+            best63 = min(
+                (v for k, v in out.items()
+                 if k.startswith("lambdamart_train_seconds_per_tree_")
+                 and k.endswith(("_level63", "_bestk63"))), default=None
+            )
+            if best63:
+                cb63 = c_train_baseline.measure(
+                    docs=train.num_docs, trees=6, bins=63
+                )
+                out["c_baseline_train_s_per_tree_63"] = cb63["mean_s_per_tree"]
+                out["train_vs_baseline_63"] = (
+                    cb63["mean_s_per_tree"] / best63
+                )
+                log(
+                    f"# C train baseline @63 bins: "
+                    f"{cb63['mean_s_per_tree']:.3f} s/tree -> "
+                    f"{out['train_vs_baseline_63']:.1f}x ours"
+                )
         except Exception as e:  # noqa: BLE001 — toolchain failure
             log(f"# C train baseline failed ({e}); omitting train_vs_baseline")
     return out

@@ -554,6 +554,21 @@ class Dart(LambdaMart):
         jax.block_until_ready(delta_tr_fn(ens, _warm_idx, _warm_w))
         if delta_va_fn is not None:
             jax.block_until_ready(delta_va_fn(ens, _warm_idx, _warm_w))
+        if jax.default_backend() == "tpu" and jax.process_count() == 1:
+            # also pre-compile the periodic-rescore QS program (capacity-
+            # shaped tables, so one compile serves every rescore): its
+            # first mid-run call otherwise pays ~4 s (the one residual
+            # spike after the pad-ladder warm).
+            from quickrank_tpu.trees.qs import ensemble_to_qs, score_qs
+
+            _qs0 = ensemble_to_qs(ens, space="bin")
+            jax.block_until_ready(
+                score_qs(tr.step.binned.astype(jnp.float32), _qs0)
+            )
+            if va is not None:
+                jax.block_until_ready(
+                    score_qs(va.step.binned.astype(jnp.float32), _qs0)
+                )
         init_time = _time.time() - t0
         if verbose:
             print(f"# {self.NAME}: {self!r}")

@@ -35,7 +35,7 @@ _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 
 def measure(docs: int = 2_560_000, trees: int = 8, warmup: int = 2,
-            threads: int = 0, timeout_s: int = 900) -> dict:
+            threads: int = 0, timeout_s: int = 900, bins: int = 256) -> dict:
     """Compile (gcc -O3 -march=native -fopenmp) and run; returns
     {"mean_s_per_tree", "per_tree", "threads"}.  Raises on any toolchain
     failure; callers fall back."""
@@ -50,7 +50,7 @@ def measure(docs: int = 2_560_000, trees: int = 8, warmup: int = 2,
         if threads:
             env["OMP_NUM_THREADS"] = str(threads)
         out = subprocess.run(
-            [exe, str(docs), "136", "256", "16", str(trees + warmup),
+            [exe, str(docs), "136", str(bins), "16", str(trees + warmup),
              str(warmup), "1", "0"],
             capture_output=True, text=True, check=True, env=env,
             timeout=timeout_s,
