@@ -148,22 +148,42 @@ class Dart(LambdaMart):
                 "sharding is not supported — drop --num-feat-shards "
                 "(PARITY.md known exclusions)"
             )
-        tr = TrainData.build(
-            train, self.nthresholds, num_shards=num_shards,
-            num_feat_shards=num_feat_shards,
-        )
-        va = (
-            TrainData.build(
+        if isinstance(train, TrainData):
+            # pre-assembled step tensors (multi-host path,
+            # parallel/multihost.py) — same acceptance as Mart.learn
+            tr = train
+            if warm_start and tr.presharded:
+                raise NotImplementedError(
+                    "DART warm start with a presharded multi-host TrainData "
+                    "is not supported (host-side rescoring gathers need the "
+                    "global flat layout)"
+                )
+        else:
+            tr = TrainData.build(
+                train, self.nthresholds, num_shards=num_shards,
+                num_feat_shards=num_feat_shards,
+            )
+        if isinstance(valid, TrainData):
+            va = valid
+        elif valid is not None:
+            if tr.presharded:
+                raise ValueError(
+                    "multi-host training: the validation fold must also be "
+                    "a build_train_data_multihost TrainData (same mesh, "
+                    "same thresholds) — a host-local Dataset cannot join "
+                    "the global step (docs/parallel.md multi-host "
+                    "exclusions)"
+                )
+            va = TrainData.build(
                 valid, self.nthresholds, num_shards=num_shards,
                 # valid stays feature-replicated: its descent scoring uses
                 # global feature ids over the full matrix (as in Mart.learn);
                 # slice off the train-side feature-pad threshold rows
                 thresholds=np.asarray(tr.step.thresholds)[: valid.num_features],
             )
-            if valid is not None
-            else None
-        )
-        if mesh is not None:
+        else:
+            va = None
+        if mesh is not None and not tr.presharded:
             import dataclasses as _dc
 
             from quickrank_tpu.parallel.mesh import shard_step_data
@@ -181,8 +201,18 @@ class Dart(LambdaMart):
         md = self._descend_depth()
         rng = np.random.default_rng(self.seed)
 
-        N = tr.padded.num_docs_padded
-        n_real = tr.padded.doc_mask.sum()
+        if tr.presharded:
+            # multi-host: geometry comes from the GLOBAL step tensors
+            # (tr.padded is only this process's local block)
+            N = tr.step.binned.shape[0]
+            n_real = float(
+                jax.jit(lambda mk: jnp.sum(mk.astype(jnp.float32)))(
+                    tr.step.doc_mask
+                )
+            )
+        else:
+            N = tr.padded.num_docs_padded
+            n_real = tr.padded.doc_mask.sum()
 
         # -- device kernels (wrapped in shard_map under a mesh) ------------
         def _fit_body(scores_tr, presence, key, tr_sd, va_sd):
@@ -469,12 +499,34 @@ class Dart(LambdaMart):
         # never need a device round trip
         w_host = np.zeros(cap, np.float32)
         T_host = 0
-        scores_tr = jnp.zeros((N,), jnp.float32)
-        scores_va = (
-            jnp.zeros((va.padded.num_docs_padded,), jnp.float32)
-            if va is not None
-            else jnp.zeros((1,), jnp.float32)
-        )
+        if tr.presharded:
+            # multi-host: score buffers must be GLOBAL sharded arrays laid
+            # out like the step tensors (a process-local jnp.zeros cannot
+            # feed a multi-process jit) — same device discipline as
+            # Mart.learn's presharded branch
+            from jax.sharding import NamedSharding
+
+            _sf = NamedSharding(mesh, P(axis))
+            _mkz = lambda n: jax.jit(  # noqa: E731
+                lambda: jnp.zeros((n,), jnp.float32), out_shardings=_sf
+            )()
+            scores_tr = _mkz(N)
+            scores_va = (
+                _mkz(va.step.binned.shape[0])
+                if va is not None
+                else jnp.zeros((1,), jnp.float32)
+            )
+        else:
+            scores_tr = jnp.zeros((N,), jnp.float32)
+            scores_va = (
+                jnp.zeros((va.padded.num_docs_padded,), jnp.float32)
+                if va is not None
+                else jnp.zeros((1,), jnp.float32)
+            )
+        # sharding-preserving fresh zeros (works for host-local AND global
+        # sharded score buffers; eager zeros_like on a non-addressable
+        # array is not allowed outside jit)
+        _zeros_like_j = jax.jit(lambda x: jnp.zeros_like(x))
         contributions: list[float] = []
         m_tr = 0.0
         m_va = 0.0
@@ -631,8 +683,8 @@ class Dart(LambdaMart):
                 )
             else:
                 # fresh zeros each time: these buffers are donated
-                delta_tr = jnp.zeros_like(scores_tr)
-                delta_va = jnp.zeros_like(scores_va)
+                delta_tr = _zeros_like_j(scores_tr)
+                delta_va = _zeros_like_j(scores_va)
 
             # the whole expensive pipeline in one fixed-shape dispatch;
             # everything below is host bookkeeping on the returned scalars

@@ -76,7 +76,18 @@ if mode == "2d":
         thresholds=np.asarray(tr.step.thresholds),
     )
 
-lm = LambdaMart(ntrees=3, nleaves=4, nthresholds=16, seed=0, esr=0)
+if mode == "dart":
+    # 13 iterations so the m > 11 periodic full rescore fires: the rescore
+    # used to mix host-local QS tables with the multihost-global binned
+    # array in one jit (incompatible-devices); it must take the scan path
+    # under jax.process_count() > 1 (learning/dart.py::_full_rescore).
+    from quickrank_tpu.learning import Dart
+
+    lm = Dart(
+        ntrees=13, nleaves=4, nthresholds=16, rate_drop=0.3, seed=0, esr=0
+    )
+else:
+    lm = LambdaMart(ntrees=3, nleaves=4, nthresholds=16, seed=0, esr=0)
 hist = lm.learn(tr, va, Ndcg(10), verbose=False, mesh=mesh)
 if pid == 0:
     out = {"train": hist["train"]}
@@ -121,6 +132,37 @@ def _run_workers(tmp_path, mode):
         return json.load(f)
 
 
+def _single_process_dart_oracle():
+    """Single-process DART run mirroring the "dart" worker mode (same
+    merged thresholds, same seed -> identical host RNG dropout draws)."""
+    from quickrank_tpu.data.synthetic import make_ranking_dataset
+    from quickrank_tpu.learning import Dart
+    from quickrank_tpu.learning.mart import TrainData
+    from quickrank_tpu.metrics import Ndcg
+    from quickrank_tpu.ops.binning import build_thresholds
+    from quickrank_tpu.parallel.multihost import (
+        merge_threshold_candidates,
+        process_query_block,
+    )
+
+    full = make_ranking_dataset(
+        num_queries=48, avg_docs_per_query=30, num_features=12, seed=7
+    )
+    cand = np.stack(
+        [
+            build_thresholds(
+                process_query_block(full, 2, pid).features, 16
+            )[0]
+            for pid in range(2)
+        ]
+    )
+    thr = merge_threshold_candidates(cand)
+    tr = TrainData.build(full, 16, thresholds=thr)
+    d = Dart(ntrees=13, nleaves=4, nthresholds=16, rate_drop=0.3, seed=0,
+             esr=0)
+    return d.learn(tr, None, Ndcg(10), verbose=False)
+
+
 def _single_process_oracle():
     """Single-process run of the SAME full dataset, using the SAME
     distributed-binning threshold tables the workers agree on (the merge
@@ -156,6 +198,15 @@ def test_two_process_training_matches_single(tmp_path):
     mh = _run_workers(tmp_path, "1d")
     h1 = _single_process_oracle()
     # identical thresholds -> only psum f32 reorder noise remains
+    np.testing.assert_allclose(mh["train"], h1["train"], atol=6e-3)
+
+
+def test_two_process_dart_matches_single(tmp_path):
+    """DART across 2 processes, long enough (13 iters) that the periodic
+    full rescore fires under process_count() == 2 — pinning the r5 gating
+    that keeps host-built QS tables out of multihost jits (advisor r4)."""
+    mh = _run_workers(tmp_path, "dart")
+    h1 = _single_process_dart_oracle()
     np.testing.assert_allclose(mh["train"], h1["train"], atol=6e-3)
 
 
