@@ -35,6 +35,7 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     nq = int(os.environ.get("QRTPU_PROFILE_QUERIES", 19000 if on_tpu else 500))
     growth = os.environ.get("QRTPU_PROFILE_GROWTH", "level")
+    nthr = int(os.environ.get("QRTPU_PROFILE_BINS", 255))
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import _timing_dataset
@@ -48,7 +49,7 @@ def main():
     warm, traced = 3, 3
     cluster = os.environ.get("QRTPU_PROFILE_CLUSTER", "auto")
     lm = LambdaMart(
-        ntrees=warm + traced, nleaves=16, shrinkage=0.1, nthresholds=255,
+        ntrees=warm + traced, nleaves=16, shrinkage=0.1, nthresholds=nthr,
         growth=growth, seed=1, max_depth=4 if growth == "level" else 0,
         cluster=cluster,
     )
