@@ -335,3 +335,28 @@ def test_restart_hyperparameter_mismatch_rejected(tmp_path, splits):
     info = ok.learn(train, None, Ndcg(10), verbose=False, warm_start=True)
     assert int(ok.ensemble.num_trees) == 6
     assert len(info["train"]) == 3
+
+
+def test_device_scorer_matches_score_dataset(splits):
+    """Mart.device_scorer (the quickscore timing path: pre-uploaded
+    features, device-resident fn) must produce exactly score_dataset's
+    scores through the same dispatch — for the descent path (CPU) and
+    the oblivious override."""
+    import jax.numpy as jnp
+
+    from quickrank_tpu.learning.obliviousmart import ObliviousLambdaMart
+
+    train, _, test = splits
+    lm = LambdaMart(ntrees=8, nleaves=8, nthresholds=32, seed=1, esr=0)
+    lm.learn(train, None, Ndcg(10), verbose=False)
+    ref = lm.score_dataset(test)
+    fn, X = lm.device_scorer(test)
+    np.testing.assert_allclose(np.asarray(fn(X)), ref, rtol=0, atol=0)
+
+    ob = ObliviousLambdaMart(ntrees=6, treedepth=3, nthresholds=32, seed=1,
+                             esr=0)
+    ob.learn(train, None, Ndcg(10), verbose=False)
+    ref = ob.score_dataset(test)
+    fn, X = ob.device_scorer(test)
+    np.testing.assert_allclose(np.asarray(fn(jnp.asarray(X))), ref,
+                               rtol=0, atol=0)

@@ -192,6 +192,24 @@ def test_feature_sampling_runs(small_problem):
     assert int(tree.n_nodes) > 1
 
 
+def test_bin_pad_lane_tiling():
+    """The packed bin pad must (a) cover num_bins and (b) make every
+    G-feature column group span whole 128-lane tiles — the r5 layout that
+    prices 63 bins as 64 instead of 128 (ops/pallas_histogram.py)."""
+    from quickrank_tpu.ops.pallas_histogram import LANES, _bin_pad
+
+    assert _bin_pad(63, 32) == 64
+    assert _bin_pad(63, 64) == 64
+    assert _bin_pad(31, 64) == 32
+    assert _bin_pad(255, 32) == 256
+    assert _bin_pad(17, 4) == 32
+    for g in (4, 8, 16, 32, 64, 128):
+        for b in (2, 17, 31, 63, 64, 96, 127, 255, 300):
+            bp = _bin_pad(b, g)
+            assert bp >= b
+            assert (g * bp) % LANES == 0, (g, b, bp)
+
+
 def test_pallas_histogram_matches_scatter(small_problem):
     """MXU histogram kernel (interpret mode on CPU) must match the
     scatter-add reference."""
