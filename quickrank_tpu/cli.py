@@ -59,7 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     t = p.add_argument_group("tree-based options")
     t.add_argument("--num-trees", type=int, default=1000)
     t.add_argument("--shrinkage", type=float, default=0.10)
-    t.add_argument("--num-thresholds", type=int, default=255)
+    t.add_argument("--num-thresholds", type=int, default=255,
+                   help="feature quantization bins (reference default 255; "
+                        "63 trains ~2.1x faster on TPU at <=0.003 NDCG on "
+                        "the measured fixture — see BENCHMARKS.md bins "
+                        "sweep)")
     t.add_argument("--min-leaf-support", type=int, default=1)
     t.add_argument("--end-after-rounds", type=int, default=100)
     t.add_argument("--num-leaves", type=int, default=10)

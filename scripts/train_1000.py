@@ -55,6 +55,7 @@ def main():
 
     ntrees = int(os.environ.get("QRTPU_T1000_TREES", 1000))
     nq = int(os.environ.get("QRTPU_T1000_QUERIES", 19000))
+    nthr = int(os.environ.get("QRTPU_T1000_BINS", 255))
     growers = [
         g for g in os.environ.get("QRTPU_T1000_GROWERS", "level,best").split(",")
         if g
@@ -96,11 +97,13 @@ def main():
     resume = os.environ.get("QRTPU_T1000_RESUME", "0") == "1"
 
     def run_one(name, growth, valid, esr, train=train, **mart_kw):
+        if nthr != 255:
+            name = f"{name}@{nthr}"
         if resume and name in results["runs"]:
             log(f"# {name}: already measured (merged file), skipping")
             return
         lm = LambdaMart(
-            ntrees=ntrees, nleaves=16, shrinkage=0.1, nthresholds=255,
+            ntrees=ntrees, nleaves=16, shrinkage=0.1, nthresholds=nthr,
             growth=growth, seed=1, esr=esr,
             max_depth=4 if growth == "level" else 0, **mart_kw,
         )
