@@ -315,8 +315,11 @@ def bench_training(on_tpu: bool) -> dict:
                  and k.endswith(("_level63", "_bestk63"))), default=None
             )
             if best63:
+                # 64 = 63 thresholds + the FLT_MAX sentinel bin, matching
+                # the TPU run's effective num_bins (the 255-bin row's
+                # default of 256 follows the same rule)
                 cb63 = c_train_baseline.measure(
-                    docs=train.num_docs, trees=6, bins=63
+                    docs=train.num_docs, trees=6, bins=64
                 )
                 out["c_baseline_train_s_per_tree_63"] = cb63["mean_s_per_tree"]
                 out["train_vs_baseline_63"] = (

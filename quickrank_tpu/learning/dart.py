@@ -205,8 +205,10 @@ class Dart(LambdaMart):
             # multi-host: geometry comes from the GLOBAL step tensors
             # (tr.padded is only this process's local block)
             N = tr.step.binned.shape[0]
-            n_real = float(
-                jax.jit(lambda mk: jnp.sum(mk.astype(jnp.float32)))(
+            # integer sum: an f32 accumulation would round above 2^24 docs
+            # and silently skew contrib normalization at pod scale
+            n_real = int(
+                jax.jit(lambda mk: jnp.sum(mk.astype(jnp.int32)))(
                     tr.step.doc_mask
                 )
             )
@@ -606,7 +608,12 @@ class Dart(LambdaMart):
         jax.block_until_ready(delta_tr_fn(ens, _warm_idx, _warm_w))
         if delta_va_fn is not None:
             jax.block_until_ready(delta_va_fn(ens, _warm_idx, _warm_w))
-        if jax.default_backend() == "tpu" and jax.process_count() == 1:
+        if (
+            jax.default_backend() == "tpu"
+            and jax.process_count() == 1
+            and iter_offset == 0  # a warm start's rescore above already
+            # compiled and ran the identical capacity-shaped program
+        ):
             # also pre-compile the periodic-rescore QS program (capacity-
             # shaped tables, so one compile serves every rescore): its
             # first mid-run call otherwise pays ~4 s (the one residual

@@ -139,19 +139,22 @@ class TrainData:
             thresholds = np.asarray(thresholds)
         binned = apply_bins(np.asarray(padded.features), thresholds)
         # Pad the feature axis so each (per-shard) block is a multiple of
-        # the histogram kernel's feature group (G=32 since the 2026-08-19
-        # sweep) — otherwise every histogram call pads the multi-hundred-MB
-        # binned tensor on device (~4 ms x 4 passes/iteration at MSLR
-        # scale).  Pad features bin every doc to 0 and carry +inf
-        # thresholds, so any split on them sends everything left
-        # (rcount=0 -> never chosen).
+        # the feature group the histogram kernel will auto-select (G=32
+        # since the 2026-08-19 sweep; G=64 at <= 64 bins since the r5
+        # packed-bin-pad sweep) — otherwise every histogram call pads the
+        # multi-hundred-MB binned tensor on device (~4 ms x 4
+        # passes/iteration at MSLR scale).  Pad features bin every doc to
+        # 0 and carry +inf thresholds, so any split on them sends
+        # everything left (rcount=0 -> never chosen).
         F = binned.shape[1]
         k = num_feat_shards
-        f_blk = ((F + k - 1) // k + 31) // 32 * 32
+        g_align = 64 if thresholds.shape[1] <= 64 else 32
+        f_blk = ((F + k - 1) // k + g_align - 1) // g_align * g_align
         if k == 1 and f_blk - F < 8:
             # the clustered grower packs 8 payload bytes into the pad
             # columns (trees/grow_cluster.py) — guarantee the space
-            f_blk += 32
+            # (grow by a full group so the kernel alignment holds)
+            f_blk += g_align
         Fp = f_blk * k
         if Fp != F:
             binned = np.pad(binned, ((0, 0), (0, Fp - F)))

@@ -192,10 +192,12 @@ def descend_tree_binned_matmul(
     (split column, threshold, child ids, leaf bit) go through one-hot
     dots: an [N]-gather from even a 31-entry table lowers to a ~15-20 ms
     slow path on this target (scripts/bench_permute.py's flat-gather
-    row), and descent needs four per level.  Exact: bin ids of any width
-    ride the f32/HIGHEST-precision dot, exact to 2^24 (see
-    descend_tree_matmul's exactness argument).  The table dots run in f32
-    with one-hot weights.
+    row), and descent needs four per level.  Exact: u8 bins <= 255 are
+    exact in bf16 (and the threshold_bins they compare against are < 256
+    by mart.py's wire construction); wider bin ids (u16 wire,
+    nthresholds > 256) ride the f32/HIGHEST-precision dot, exact to 2^24
+    (see descend_tree_matmul's exactness argument).  The table dots run
+    in f32 with one-hot weights.
 
     Bitwise-equal to descend_tree_binned, asserted by
     tests/test_cluster.py and tests/test_trees.py."""
@@ -203,17 +205,26 @@ def descend_tree_binned_matmul(
     max_nodes = tree.max_nodes
     node = jnp.zeros((N,), jnp.int32)
     ids = jnp.arange(max_nodes)
-    # f32/HIGHEST for every input dtype: bin ids are exact to 2^24.  (A
-    # bf16 fast path for u8 inputs existed but was dead — StepData.binned
-    # is built i32, mart.py — and would silently misroute if a caller
-    # ever paired u8 data with >255-bin thresholds; r5 removed it.)
+    # u8 wire data (StepData.binned whenever num_bins <= 256, mart.py
+    # ``wire = binned.astype(np.uint8)``) rides a single-pass bf16 dot:
+    # bin ids <= 255 and their threshold_bins (< 256 by the same
+    # construction) are exact bf16 integers, and the f32 accumulator keeps
+    # the dot exact.  Wider wire dtypes (u16/i32, nthresholds > 256) take
+    # the multi-pass f32/HIGHEST dot, exact to 2^24.  This is the hot
+    # per-iteration dot of DART deltas and binned rescores — do not fold
+    # the branches (r5 briefly removed the u8 path on a wrong dead-code
+    # premise).
+    if binned.dtype == jnp.uint8:
+        blk, selt, prec = jnp.bfloat16, jnp.bfloat16, None
+    else:
+        blk, selt, prec = jnp.float32, jnp.float32, jax.lax.Precision.HIGHEST
     sel = (
         tree.feature[None, :] == jnp.arange(W)[:, None]
-    ).astype(jnp.float32)  # [W, max_nodes]
+    ).astype(selt)  # [W, max_nodes]
     fcols = jax.lax.dot_general(
-        binned.astype(jnp.float32), sel, (((1,), (0,)), ((), ())),
+        binned.astype(blk), sel, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        **({"precision": prec} if prec is not None else {}),
     )  # [N, max_nodes] — every node's split column for every doc
 
     for _ in range(max_depth):

@@ -84,13 +84,18 @@ def main(argv=None) -> int:
         # converted to numpy every round, inflating per-doc time.
         fn, X = model.device_scorer(ds)
         out = fn(X)  # warm-up (includes jit compile)
+        # chained [N]-sized accumulator (bench.py's discipline): rounds
+        # cannot be elided, the final scalar fetch syncs them, and the
+        # per-round dependency costs O(N) on the small output — not an
+        # [N, F] feature-array rebuild per round
+        acc = out * 0.0
         for _ in range(2):  # burn-in (first timed loop reads inflated)
-            out = fn(X + out[0] * 0.0)
-        float(out[0])
+            acc = acc * 0.5 + fn(X)
+        float(acc[0])
         t0 = time.perf_counter()
         for _ in range(args.rounds):
-            out = fn(X + out[0] * 0.0)
-        float(out[0])  # sync
+            acc = acc * 0.5 + fn(X)
+        float(acc[0])  # sync
         total = time.perf_counter() - t0
         scores = np.asarray(out)
     else:

@@ -510,6 +510,24 @@ def test_descend_tree_matmul_bitwise_value_space(small_problem):
     )
 
 
+def test_descend_tree_binned_matmul_u8_wire(small_problem):
+    """u8 wire data (StepData.binned whenever num_bins <= 256 — the
+    default-config hot path of DART deltas and binned rescores) takes the
+    single-pass bf16 dot and routes bitwise like the gather descent (bin
+    ids <= 255 and threshold_bins < 256 are exact bf16 integers).  Pinned
+    so the branch can't be 'dead-code'-removed again (r5)."""
+    from quickrank_tpu.ops.scoring import descend_tree_binned_matmul
+
+    X, y = small_problem
+    b, cfg, tree, node = _fit(X, y, nleaves=8)
+    assert b.num_bins <= 256
+    binned = jnp.asarray(np.asarray(b.binned).astype(np.uint8))
+    np.testing.assert_array_equal(
+        np.asarray(descend_tree_binned_matmul(binned, tree, cfg.nleaves)),
+        np.asarray(descend_tree_binned(binned, tree, cfg.nleaves)),
+    )
+
+
 def test_descend_tree_binned_matmul_u16_bins(small_problem):
     """Wide-bin (u16 wire, >256 bins) descent takes the f32/HIGHEST dot
     and still routes bitwise (bf16 would corrupt bin ids > 256)."""
