@@ -576,7 +576,9 @@ class Dart(LambdaMart):
         ) > 0:
             from quickrank_tpu.learning.mart import _copy_into, rebin_ensemble
 
-            src = rebin_ensemble(self.ensemble, np.asarray(tr.step.thresholds))
+            src = rebin_ensemble(
+                self.ensemble, np.asarray(tr.step.thresholds), force=True
+            )
             ens = _copy_into(ens, src)
             T0 = int(ens.num_trees)
             iter_offset = T0

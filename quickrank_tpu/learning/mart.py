@@ -806,7 +806,9 @@ class Mart(LTRAlgorithm):
             # XML-loaded models carry no bin-space thresholds — rebuild them
             # against this run's threshold tables so binned rescoring/descent
             # routes exactly like the value-space model.
-            src = rebin_ensemble(self.ensemble, np.asarray(tr.step.thresholds))
+            src = rebin_ensemble(
+                self.ensemble, np.asarray(tr.step.thresholds), force=True
+            )
             ens = _copy_into(ens, src)
             start_iter = int(ens.num_trees)
             md = self._descend_depth()
@@ -1303,7 +1305,7 @@ def rescore_binned(ens: EnsembleTensors, sd: StepData, max_depth: int):
 
 
 def rebin_ensemble(
-    ens: EnsembleTensors, thresholds: np.ndarray
+    ens: EnsembleTensors, thresholds: np.ndarray, force: bool = False
 ) -> EnsembleTensors:
     """Fill missing bin-space split points (threshold_bin == -1, the XML
     load sentinel) from the value-space thresholds.
@@ -1313,10 +1315,19 @@ def rebin_ensemble(
     with ``thresholds[f][t] <= thr`` — exact when ``thr`` is itself a table
     entry (always true for self-trained models), and the closest
     quantization for foreign models (the reference re-quantizes imported
-    models through stmap the same way, rtnode_histogram.cc:227-253)."""
+    models through stmap the same way, rtnode_histogram.cc:227-253).
+
+    ``force=True`` recomputes EVERY internal node's bin id — required on
+    warm starts: an in-process model carries bin ids from its *training*
+    run's tables, which silently misroute against a different dataset's
+    tables (XML loads are safe only because the sentinel forces the
+    recompute).  For identical data the recompute is a bitwise no-op
+    (``thr`` is an entry of the same table)."""
     feat = np.asarray(ens.feature)
     tbin = np.asarray(ens.threshold_bin).copy()
-    need = (~np.asarray(ens.is_leaf)) & (tbin < 0) & (feat >= 0)
+    need = (~np.asarray(ens.is_leaf)) & (feat >= 0)
+    if not force:
+        need &= tbin < 0
     if not need.any():
         return ens
     ti, ni = np.nonzero(need)

@@ -132,6 +132,59 @@ def test_warm_start_continues(splits):
     assert len(info["train"]) == 4  # only the new iterations
 
 
+def test_warm_start_rebins_against_new_tables(splits):
+    """Warm starts force-recompute EVERY bin-space split id against the
+    resumed run's threshold tables (rebin_ensemble(force=True), r5): an
+    in-process model carries bin ids from its training run's tables,
+    which silently misroute against a different dataset's quantization
+    (XML loads were safe only via the -1 sentinel)."""
+    from quickrank_tpu.data.synthetic import make_ranking_dataset
+    from quickrank_tpu.learning.mart import rebin_ensemble
+    from quickrank_tpu.ops.binning import build_thresholds
+
+    train, _, _ = splits
+    lm = LambdaMart(ntrees=4, nleaves=8, nthresholds=32, seed=1)
+    lm.learn(train, None, Ndcg(10), verbose=False)
+    ens = lm.ensemble
+
+    # a different dataset -> different threshold tables
+    other = make_ranking_dataset(num_queries=80, avg_docs_per_query=25,
+                                 seed=77)
+    thrB, _ = build_thresholds(other.features, 32)
+
+    re = rebin_ensemble(ens, thrB, force=True)
+    feat = np.asarray(ens.feature)
+    thr = np.asarray(ens.threshold)
+    leaf = np.asarray(ens.is_leaf)
+    tbin = np.asarray(re.threshold_bin)
+    T = int(ens.num_trees)
+    checked = 0
+    for t in range(T):
+        for n in range(ens.max_nodes):
+            if leaf[t, n] or feat[t, n] < 0:
+                continue
+            want = max(int((thrB[feat[t, n]] <= thr[t, n]).sum()) - 1, 0)
+            assert tbin[t, n] == want, (t, n, tbin[t, n], want)
+            checked += 1
+    assert checked > 0
+
+    # same-table recompute is a bitwise no-op (warm start on the same data
+    # must stay bit-reproducible); rebuild the run's own tables the same
+    # deterministic way TrainData.build does
+    thrA, _ = build_thresholds(train.features, 32)
+    # TrainData pads the table rows; only real features matter here
+    same = rebin_ensemble(ens, thrA, force=True)
+    np.testing.assert_array_equal(
+        np.asarray(same.threshold_bin)[:T], np.asarray(ens.threshold_bin)[:T]
+    )
+
+    # end-to-end: warm-start training on the other dataset stays sane
+    lm.ntrees = 8
+    info = lm.learn(other, None, Ndcg(10), verbose=False, warm_start=True)
+    assert np.isfinite(info["train"]).all()
+    assert int(lm.ensemble.num_trees) == 8
+
+
 def test_meta_cleaver(splits):
     train, valid, test = splits
     algo = LambdaMart(ntrees=8, nleaves=8, nthresholds=32, seed=1)
