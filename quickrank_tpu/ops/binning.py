@@ -50,12 +50,16 @@ class BinnedFeatures:
 
 
 def build_thresholds(
-    features: np.ndarray, nthresholds: int = 0, max_bins: int | None = None
+    features: np.ndarray, nthresholds: int = 0,
+    min_table_width: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-feature threshold tables (mart.cc:136-170 semantics).
 
-    Returns ``(thresholds [F, B], counts [F])`` with B = max real count,
-    optionally rounded up to ``max_bins`` alignment.
+    Returns ``(thresholds [F, B], counts [F])`` with B = max real count;
+    ``min_table_width`` (if given) is a FLOOR on B — extra columns carry
+    the FLT_MAX sentinel.  (It is not a cap: capping is what
+    ``nthresholds`` itself does.  The parameter was named ``max_bins``
+    through r4, which read as a cap it never was.)
 
     Dispatches to the multithreaded C++ binner (native/binner.cc) when
     ``nthresholds > 0``; the per-feature numpy loop below is the fallback
@@ -73,8 +77,8 @@ def build_thresholds(
             pass
         else:
             B = int(counts.max())
-            if max_bins is not None:
-                B = max(B, max_bins)
+            if min_table_width is not None:
+                B = max(B, min_table_width)
             if B < out.shape[1]:
                 out = np.ascontiguousarray(out[:, :B])
             elif B > out.shape[1]:
@@ -99,8 +103,8 @@ def build_thresholds(
         per_feature.append(th)
         counts[f] = len(th)
     B = int(counts.max())
-    if max_bins is not None:
-        B = max(B, max_bins)
+    if min_table_width is not None:
+        B = max(B, min_table_width)
     out = np.full((F, B), FLT_MAX, dtype=np.float32)
     for f in range(F):
         out[f, : counts[f]] = per_feature[f]
@@ -131,8 +135,11 @@ def apply_bins(features: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
 
 
 def bin_dataset(
-    features: np.ndarray, nthresholds: int = 0, max_bins: int | None = None
+    features: np.ndarray, nthresholds: int = 0,
+    min_table_width: int | None = None,
 ) -> BinnedFeatures:
-    thresholds, counts = build_thresholds(features, nthresholds, max_bins)
+    thresholds, counts = build_thresholds(
+        features, nthresholds, min_table_width
+    )
     binned = apply_bins(features, thresholds)
     return BinnedFeatures(thresholds=thresholds, counts=counts, binned=binned)

@@ -179,8 +179,16 @@ def node_histograms_scatter(
     ok = doc_mask & (node_of_doc >= 0) & (node_of_doc < num_nodes)
     node = jnp.where(ok, node_of_doc, num_nodes)
     fidx = jnp.arange(F, dtype=jnp.int32)[None, :]
-    flat = (node[:, None] * F + fidx) * num_bins + jnp.minimum(
-        binned, num_bins - 1
+    # out-of-range bin ids (bin == num_bins happens for features past the
+    # FLT_MAX sentinel, e.g. +inf values) are DROPPED per (doc, feature)
+    # element — the same semantic as the Pallas kernel's one-hot (no
+    # column matches) and masked_histogram_scatter's trash bin; a clamp
+    # here would count such docs in the top bin on CPU only, diverging
+    # trees between backends.
+    bin_ok = (binned >= 0) & (binned < num_bins)
+    node_elem = jnp.where(bin_ok, node[:, None], num_nodes)
+    flat = (node_elem * F + fidx) * num_bins + jnp.clip(
+        binned, 0, num_bins - 1
     )
     vals = jnp.broadcast_to(values[:, None, :], (N, F, C))
     hist = jnp.zeros(((num_nodes + 1) * F * num_bins, C), dtype=jnp.float32)

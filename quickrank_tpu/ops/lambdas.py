@@ -168,16 +168,21 @@ def lambda_gradients(
         # past the cache-friendly working set: 300 ms -> 223 ms per pass at
         # MSLR scale, BENCHMARKS.md)
         budget = (45 << 20) // (4 * max(pair_elems, 1))
-        if budget >= Q:
-            query_chunk = Q
-        else:
-            query_chunk = max(1, budget)
-            while Q % query_chunk:
-                query_chunk -= 1
+        query_chunk = Q if budget >= Q else max(1, budget)
     if query_chunk >= Q:
         return block(scores, labels, slot_mask, nvalid, metric)
-    assert Q % query_chunk == 0, (Q, query_chunk)
-    C = Q // query_chunk
+    # Pad Q up to a chunk multiple instead of searching for a divisor: a
+    # prime Q would otherwise collapse the chunk to 1 — thousands of
+    # sequential single-query blocks per gradient pass.  Pad queries carry
+    # all-False slot masks and nvalid=0, the same shape every sharded
+    # layout already feeds through these blocks.
+    pad = (-Q) % query_chunk
+    if pad:
+        scores = jnp.pad(scores, ((0, pad), (0, 0)))
+        labels = jnp.pad(labels, ((0, pad), (0, 0)))
+        slot_mask = jnp.pad(slot_mask, ((0, pad), (0, 0)))
+        nvalid = jnp.pad(nvalid, (0, pad))
+    C = (Q + pad) // query_chunk
 
     def one(args):
         s, l, m, n = args
@@ -187,4 +192,7 @@ def lambda_gradients(
     lam, w = jax.lax.map(
         one, (resh(scores), resh(labels), resh(slot_mask), resh(nvalid))
     )
-    return lam.reshape(scores.shape), w.reshape(scores.shape)
+    return (
+        lam.reshape(scores.shape)[:Q],
+        w.reshape(scores.shape)[:Q],
+    )

@@ -13,6 +13,8 @@ equivalent is fully batched:
      no per-doc gather).
 
 Tree chunking (scan) bounds the live [N, Tc, L] one-hot intermediate.
+Value-space and bin-space scoring share one implementation (the threshold
+table is the only difference: ``thr`` vs ``thr_bin``, exact either way).
 """
 
 from __future__ import annotations
@@ -25,33 +27,37 @@ import jax.numpy as jnp
 from quickrank_tpu.trees.oblivious import ObliviousEnsemble
 
 
-@partial(jax.jit, static_argnames=("tree_chunk",))
-def score_oblivious(
-    features: jnp.ndarray, ens: ObliviousEnsemble, tree_chunk: int = 0
+def _score_impl(
+    data: jnp.ndarray, thr_table: jnp.ndarray, ens: ObliviousEnsemble,
+    tree_chunk: int,
 ) -> jnp.ndarray:
-    """Weighted scores f32 [N] = sum_t w_t * leaf[t, leafidx(doc, t)]."""
     T, D = ens.fid.shape
     L = ens.num_leaves
     live = (jnp.arange(T) < ens.num_trees).astype(jnp.float32)
     wleaf = ens.leaf * (ens.weight * live)[:, None]  # [T, L]
-
     shifts = (2 ** jnp.arange(D - 1, -1, -1, dtype=jnp.int32))[None, None, :]
 
     def score_block(fid, thr, wl):
         # fid/thr: [Tc, D]; wl: [Tc, L]
-        sel = jnp.take(features, fid.reshape(-1), axis=1)  # [N, Tc*D]
+        sel = jnp.take(data, fid.reshape(-1), axis=1)  # [N, Tc*D]
         bits = (sel > thr.reshape(-1)[None, :]).astype(jnp.int32)
         idx = jnp.sum(
-            bits.reshape(features.shape[0], -1, D) * shifts, axis=-1
+            bits.reshape(data.shape[0], -1, D) * shifts, axis=-1
         )  # [N, Tc]
         onehot = (idx[..., None] == jnp.arange(L)[None, None, :]).astype(
             jnp.float32
         )
-        # [N, Tc*L] @ [Tc*L] — XLA fuses the one-hot into the matvec operand.
-        return onehot.reshape(features.shape[0], -1) @ wl.reshape(-1)
+        # [N, Tc*L] @ [Tc*L] — XLA fuses the one-hot into the matvec
+        # operand.  HIGHEST precision: the default TPU matmul would round
+        # the f32 leaf weights to bf16 before accumulating (every other
+        # exactness-critical dot in ops/ sets this or proves bf16 exact).
+        return jnp.matmul(
+            onehot.reshape(data.shape[0], -1), wl.reshape(-1),
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     if tree_chunk <= 0 or tree_chunk >= T:
-        return score_block(ens.fid, ens.thr, wleaf)
+        return score_block(ens.fid, thr_table, wleaf)
 
     assert T % tree_chunk == 0, (T, tree_chunk)
     C = T // tree_chunk
@@ -63,10 +69,18 @@ def score_oblivious(
     resh = lambda x: x.reshape((C, tree_chunk) + x.shape[1:])  # noqa: E731
     out, _ = jax.lax.scan(
         body,
-        jnp.zeros((features.shape[0],), jnp.float32),
-        (resh(ens.fid), resh(ens.thr), resh(wleaf)),
+        jnp.zeros((data.shape[0],), jnp.float32),
+        (resh(ens.fid), resh(thr_table), resh(wleaf)),
     )
     return out
+
+
+@partial(jax.jit, static_argnames=("tree_chunk",))
+def score_oblivious(
+    features: jnp.ndarray, ens: ObliviousEnsemble, tree_chunk: int = 0
+) -> jnp.ndarray:
+    """Weighted scores f32 [N] = sum_t w_t * leaf[t, leafidx(doc, t)]."""
+    return _score_impl(features, ens.thr, ens, tree_chunk)
 
 
 @partial(jax.jit, static_argnames=("tree_chunk",))
@@ -74,34 +88,4 @@ def score_oblivious_binned(
     binned: jnp.ndarray, ens: ObliviousEnsemble, tree_chunk: int = 0
 ) -> jnp.ndarray:
     """Same scorer in bin space (training-time path): bit = bin > thr_bin."""
-    T, D = ens.fid.shape
-    L = ens.num_leaves
-    live = (jnp.arange(T) < ens.num_trees).astype(jnp.float32)
-    wleaf = ens.leaf * (ens.weight * live)[:, None]
-    shifts = (2 ** jnp.arange(D - 1, -1, -1, dtype=jnp.int32))[None, None, :]
-
-    def score_block(fid, tbin, wl):
-        sel = jnp.take(binned, fid.reshape(-1), axis=1)
-        bits = (sel > tbin.reshape(-1)[None, :]).astype(jnp.int32)
-        idx = jnp.sum(bits.reshape(binned.shape[0], -1, D) * shifts, axis=-1)
-        onehot = (idx[..., None] == jnp.arange(L)[None, None, :]).astype(
-            jnp.float32
-        )
-        return onehot.reshape(binned.shape[0], -1) @ wl.reshape(-1)
-
-    if tree_chunk <= 0 or tree_chunk >= T:
-        return score_block(ens.fid, ens.thr_bin, wleaf)
-    assert T % tree_chunk == 0, (T, tree_chunk)
-    C = T // tree_chunk
-
-    def body(acc, args):
-        fid, tbin, wl = args
-        return acc + score_block(fid, tbin, wl), None
-
-    resh = lambda x: x.reshape((C, tree_chunk) + x.shape[1:])  # noqa: E731
-    out, _ = jax.lax.scan(
-        body,
-        jnp.zeros((binned.shape[0],), jnp.float32),
-        (resh(ens.fid), resh(ens.thr_bin), resh(wleaf)),
-    )
-    return out
+    return _score_impl(binned, ens.thr_bin, ens, tree_chunk)

@@ -32,8 +32,7 @@ LANES = 128
 CH_PAD = 8  # minimum channel-row padding (one sublane tile)
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from quickrank_tpu.ops.util import round_up as _round_up
 
 
 def _bin_pad(num_bins: int, G: int) -> int:

@@ -31,11 +31,13 @@ from jax.experimental.pallas import tpu as pltpu
 from quickrank_tpu.trees.oblivious import ObliviousEnsemble
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from quickrank_tpu.ops.util import round_up as _round_up
 
 
-def _kernel(feats_ref, s_ref, thr_ref, wleaf_ref, out_ref, *, T, D, L, TB):
+def _kernel(
+    feats_ref, s_ref, thr_ref, wleaf_ref, out_ref, *, T, D, L, TB,
+    streamed=False,
+):
     # feats_ref: [TILE_N, F]; s_ref: [T*D, F] (bf16 one-hot); thr_ref:
     # [T*D, 1]; wleaf_ref: [T, L]; out_ref: [grid, TILE_N].
     # Trees are processed in blocks of TB to bound live VMEM intermediates.
@@ -82,9 +84,16 @@ def _kernel(feats_ref, s_ref, thr_ref, wleaf_ref, out_ref, *, T, D, L, TB):
                 idx == l
             ).astype(jnp.float32)
         total = total + jnp.sum(acc, axis=0)[None, :]
-    # The output stays fully resident in VMEM across grid steps; each step
-    # writes its own row.
-    out_ref[pl.ds(pl.program_id(0), 1), :] = total
+    if streamed:
+        # (8, tile_n) output block (pallas_qs layout, index map i // 8):
+        # constant VMEM residency, scales to arbitrarily large N; each of
+        # the 8 consecutive doc-tile iterations writes its own block row.
+        out_ref[pl.ds(pl.program_id(0) % 8, 1), :] = total
+    else:
+        # whole output VMEM-resident (measured ~10% faster at 131k docs
+        # than the streamed block — 6.8 vs 7.5 ms); used while the output
+        # fits comfortably alongside the model tables
+        out_ref[pl.ds(pl.program_id(0), 1), :] = total
 
 
 @partial(jax.jit, static_argnames=("tile_n", "tree_block", "interpret"))
@@ -120,14 +129,18 @@ def score_oblivious_pallas(
     S = jnp.concatenate([S1, S1, S1], axis=1)  # [D*T, 3F]
     thr = jnp.swapaxes(ens.thr, 0, 1).reshape(-1, 1)  # [D*T, 1]
 
-    n_pad = _round_up(max(N, tile_n), tile_n)
+    # whole-resident output while it fits comfortably in VMEM beside the
+    # model tables (~10% faster, the benched regime); stream an 8-row
+    # block past that so the kernel scales to arbitrarily large N
+    streamed = N * 4 > (16 << 20)
+    n_pad = _round_up(max(N, tile_n), tile_n * 8 if streamed else tile_n)
     if n_pad != N:
         features = jnp.pad(features, ((0, n_pad - N), (0, 0)))
     grid = (n_pad // tile_n,)
 
     assert T % tree_block == 0, (T, tree_block)
     out = pl.pallas_call(
-        partial(_kernel, T=T, D=D, L=L, TB=tree_block),
+        partial(_kernel, T=T, D=D, L=L, TB=tree_block, streamed=streamed),
         out_shape=jax.ShapeDtypeStruct((grid[0], tile_n), jnp.float32),
         grid=grid,
         in_specs=[
@@ -138,8 +151,19 @@ def score_oblivious_pallas(
             pl.BlockSpec((T * D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((T, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (grid[0], tile_n), lambda i: (0, 0), memory_space=pltpu.VMEM
+        out_specs=(
+            pl.BlockSpec(
+                (8, tile_n), lambda i: (i // 8, 0), memory_space=pltpu.VMEM
+            )
+            if streamed
+            else pl.BlockSpec(
+                (grid[0], tile_n), lambda i: (0, 0), memory_space=pltpu.VMEM
+            )
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # consecutive iterations share an output block in both modes —
+            # must not be split across cores (see ops/pallas_qs.py)
+            dimension_semantics=("arbitrary",),
         ),
         interpret=interpret,
     )(features, S, thr, wleaf)

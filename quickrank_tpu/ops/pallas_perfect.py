@@ -35,8 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from quickrank_tpu.trees.perfect import PerfectEnsemble
 
 
-def _round_up(x: int, m: int) -> int:
-    return ((x + m - 1) // m) * m
+from quickrank_tpu.ops.util import round_up as _round_up
 
 
 def _kernel(

@@ -81,6 +81,11 @@ def test_lambda_chunking_equivalence(rng):
     l1, w1 = lambda_gradients(scores, labels, mask, nvalid, m, query_chunk=2)
     np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=1e-6)
     np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), atol=1e-6)
+    # non-divisor chunk: Q=8 pads to 9 (r5 — previously the auto-chunk
+    # walked down to a divisor, collapsing to 1-query chunks for prime Q)
+    l2, w2 = lambda_gradients(scores, labels, mask, nvalid, m, query_chunk=3)
+    np.testing.assert_allclose(np.asarray(l0), np.asarray(l2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(w2), atol=1e-6)
 
 
 def test_lambda_sign_convention(rng):
@@ -110,5 +115,13 @@ def test_banded_lambda_matches_full(rng):
     for m in (Ndcg(10), Dcg(10), Ndcg(3)):
         l0, w0 = _lambda_block(scores, labels, mask, nvalid, m)
         l1, w1 = _lambda_block_banded(scores, labels, mask, nvalid, m)
-        np.testing.assert_allclose(np.asarray(l0), np.asarray(l1), atol=2e-6)
-        np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), atol=2e-6)
+        # rtol term: the two forms sum the same pair terms in different
+        # orders, and XLA's fusion choices (which vary with compile
+        # context) move the result by a last ulp on O(10) magnitudes —
+        # a pure atol=2e-6 flaked at exactly 1 element / 288
+        np.testing.assert_allclose(
+            np.asarray(l0), np.asarray(l1), rtol=2e-6, atol=2e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(w0), np.asarray(w1), rtol=2e-6, atol=2e-6
+        )

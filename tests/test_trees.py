@@ -294,6 +294,49 @@ def test_node_pallas_histogram_matches_scatter(small_problem, onehot):
     np.testing.assert_allclose(ref[..., 1], got[..., 1], rtol=2e-4, atol=1e-4)
 
 
+def test_histogram_oob_bin_dropped_consistently(small_problem):
+    """bin id == num_bins (a feature value past the FLT_MAX sentinel,
+    e.g. +inf) must be DROPPED per (doc, feature) element by EVERY
+    histogram implementation: the Pallas one-hot drops it structurally
+    (no column matches), masked_histogram_scatter routes it to the trash
+    bin — and r5 fixed node_histograms_scatter, which used to clamp it
+    into the top bin, diverging CPU trees from TPU trees on such data."""
+    from quickrank_tpu.ops import pallas_histogram as ph
+    from quickrank_tpu.ops.histogram import doc_channels, node_histograms_scatter
+
+    X, y = small_problem
+    b = bin_dataset(X, nthresholds=16)
+    N = X.shape[0]
+    num_bins = b.num_bins
+    rng = np.random.default_rng(3)
+    binned = np.asarray(b.binned).copy()
+    oob = rng.uniform(size=binned.shape) < 0.05
+    binned[oob] = num_bins  # what apply_bins yields for +inf values
+    binned = jnp.asarray(binned)
+    mask = jnp.ones((N,), bool)
+    node = jnp.asarray(rng.integers(0, 2, size=N).astype(np.int32))
+    chan = doc_channels(jnp.asarray(y), mask)
+
+    scatter = np.asarray(
+        node_histograms_scatter(binned, chan, node, mask, 2, num_bins)
+    )
+    vt = chan.T
+    h = ph.node_histogram_pallas(
+        binned.astype(jnp.int32), vt, node, num_bins, 0, 2,
+        tile_n=128, feat_group=4, interpret=True,
+    )
+    C = chan.shape[-1]
+    pallas = np.asarray(
+        jnp.moveaxis(h.reshape(binned.shape[1], num_bins, 2, C), 2, 0)
+    )
+    np.testing.assert_allclose(scatter, pallas, rtol=2e-4, atol=1e-4)
+    # the dropped elements really are gone: per-feature count equals the
+    # number of in-range docs for that feature
+    counts = scatter[..., 0].sum(axis=(0, 2))  # [F]
+    expect = (np.asarray(binned) < num_bins).sum(axis=0)
+    np.testing.assert_allclose(counts, expect, atol=1e-4)
+
+
 def test_masked_histogram_t_mask_as_node(small_problem):
     """masked_histogram_t's TPU formula — the subset mask folded in as a
     two-node pos row (in-mask docs -> node 0, rest -> node 1), k=1 on the
