@@ -127,9 +127,21 @@ int bin_apply(const float *feats, int64_t N, int64_t F,
       int32_t *out = binned + i * F;
       for (int64_t f = 0; f < F; ++f) {
         const float *th = thresholds + f * B;
-        // first index with th[idx] >= v  (searchsorted side='left')
-        out[f] = static_cast<int32_t>(
-            std::lower_bound(th, th + B, row[f]) - th);
+        const float v = row[f];
+        if (v != v) {
+          // NaN routes right at every real split (v <= thr is false in
+          // value space), so its bin-space id is the top bin: B-1 <= tbin
+          // only at the never-chosen FLT_MAX sentinel split.  (lower_bound
+          // would return 0 for NaN — bin 0 routes LEFT everywhere,
+          // diverging from value-space descent and the numpy path.)
+          out[f] = static_cast<int32_t>(B - 1);
+          continue;
+        }
+        // first index with th[idx] >= v  (searchsorted side='left'),
+        // clamped to the top bin so +inf (past the FLT_MAX sentinel)
+        // cannot produce an out-of-range id that histogram passes drop
+        int64_t idx = std::lower_bound(th, th + B, v) - th;
+        out[f] = static_cast<int32_t>(idx < B ? idx : B - 1);
       }
     }
   });

@@ -82,6 +82,13 @@ void parse_chunk(const char *buf, size_t begin, size_t end_pos, Chunk *out) {
     while (q < stop) {
       long fid = strtol(q, &next, 10);
       if (next == q || *next != ':') break;
+      if (fid < 1) {
+        // SVML feature ids are 1-based; 0/negative would otherwise be
+        // silently skipped here while the numpy fallback raises — keep
+        // the two parsers' edge-case behavior identical
+        out->error = "feature id < 1 (SVML ids are 1-based)";
+        return;
+      }
       q = next + 1;
       float val = strtof(q, &next);
       q = skip_ws(next, stop);

@@ -51,6 +51,13 @@ def _read_numpy(path: str) -> Dataset:
                 fids[i] = int(k)
                 vals[i] = float(v)
             if n:
+                if int(fids.min()) < 1:
+                    # SVML feature ids are 1-based; 0 or negative would
+                    # silently wrap onto the LAST column via fids - 1
+                    raise ValueError(
+                        f"{path}: feature id {int(fids.min())} < 1 in line "
+                        f"{len(labels)} (SVML ids are 1-based)"
+                    )
                 maxfid = max(maxfid, int(fids.max()))
             rows.append((fids, vals))
     num_docs = len(labels)

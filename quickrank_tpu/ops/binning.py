@@ -66,6 +66,17 @@ def build_thresholds(
     and the ``nthresholds == 0`` ("all unique values") path.
     """
     N, F = features.shape
+    if not np.isfinite(features).all():
+        # Threshold GRIDS must be finite: equi-width binning of a feature
+        # containing ±inf yields inf/NaN steps and collapses the feature.
+        # Build the tables from a finite-clamped copy; the raw values
+        # still quantize correctly through apply_bins' [0, B-1] clamp
+        # (non-finite -> top/bottom bin, the route-right contract).
+        features = np.nan_to_num(
+            features, nan=np.float32(3.4028235e38),
+            posinf=np.float32(3.4028235e38),
+            neginf=np.float32(-3.4028235e38),
+        )
     if nthresholds > 0:
         try:
             from quickrank_tpu.ops._binning_native import (
@@ -117,8 +128,16 @@ def apply_bins(features: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
     Equivalent to the stmap built by RTRootHistogram
     (rtnode_histogram.cc:227-253): cumulative-bin id per doc per feature.
     Native C++ fast path; per-feature numpy searchsorted fallback.
+
+    Ids are clamped to [0, B-1]: non-finite values (+inf past the FLT_MAX
+    sentinel; NaN, which numpy sorts last) land in the TOP bin, so in bin
+    space they route right at every real split — exactly the value-space
+    descent's ``v <= thr -> False`` behavior.  Without the clamp they got
+    id == B, which histogram passes drop per-element, leaving growers'
+    per-feature statistics inconsistent with routing.
     """
     N, F = features.shape
+    B = thresholds.shape[1]
     try:
         from quickrank_tpu.ops._binning_native import apply_bins as _native_apply
 
@@ -131,6 +150,7 @@ def apply_bins(features: np.ndarray, thresholds: np.ndarray) -> np.ndarray:
         out[:, f] = np.searchsorted(
             thresholds[f], features[:, f].astype(np.float32), side="left"
         )
+    np.minimum(out, B - 1, out=out)
     return out
 
 

@@ -328,9 +328,22 @@ def fit_tree(
             tree, final.deviance, final.depth, final.parent, final.n_nodes,
             cfg.collapse_factor, max_nodes,
         )
-        from quickrank_tpu.ops.scoring import descend_tree_binned
+        import jax as _jax
 
-        node_of_doc = descend_tree_binned(binned, tree, cfg.nleaves)
+        from quickrank_tpu.ops.scoring import (
+            descend_tree_binned,
+            descend_tree_binned_matmul,
+        )
+
+        # same backend dispatch as tree_delta_binned: the matmul descent
+        # avoids TPU per-doc gathers (~15-20 ms each at MSLR scale) and is
+        # bitwise-equal (tests/test_trees.py)
+        desc = (
+            descend_tree_binned_matmul
+            if _jax.default_backend() == "tpu"
+            else descend_tree_binned
+        )
+        node_of_doc = desc(binned, tree, cfg.nleaves)
     return tree, node_of_doc
 
 

@@ -292,7 +292,19 @@ def fit_tree_bestk(
             tree, final.deviance, final.depth, final.parent, final.n_nodes,
             cfg.collapse_factor, max_nodes,
         )
-        from quickrank_tpu.ops.scoring import descend_tree_binned
+        import jax as _jax
 
-        node_of_doc = descend_tree_binned(binned, tree, cfg.nleaves)
+        from quickrank_tpu.ops.scoring import (
+            descend_tree_binned,
+            descend_tree_binned_matmul,
+        )
+
+        # backend dispatch as in trees/grow.py: gather-free on TPU,
+        # bitwise-equal either way (tests/test_trees.py)
+        desc = (
+            descend_tree_binned_matmul
+            if _jax.default_backend() == "tpu"
+            else descend_tree_binned
+        )
+        node_of_doc = desc(binned, tree, cfg.nleaves)
     return tree, node_of_doc

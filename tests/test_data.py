@@ -286,3 +286,49 @@ def test_svml_edge_cases_native_matches_numpy(tmp_path):
     np.testing.assert_allclose(nat.labels, ref.labels)
     np.testing.assert_array_equal(nat.query_offsets, ref.query_offsets)
     np.testing.assert_array_equal(nat.qids, ref.qids)
+
+
+def test_apply_bins_clamps_nonfinite():
+    """r5 contract: apply_bins ids always land in [0, B-1] — NaN and +inf
+    take the TOP bin (bin-space 'route right everywhere', matching the
+    value-space v <= thr -> False descent), -inf takes bin 0; the native
+    and numpy binners agree including on non-finite values."""
+    import numpy as np
+
+    from quickrank_tpu.ops.binning import apply_bins, build_thresholds
+
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((400, 5)).astype(np.float32)
+    X[::17, 1] = np.inf
+    X[::23, 2] = -np.inf
+    X[::31, 3] = np.nan
+    thr, _ = build_thresholds(
+        np.nan_to_num(X, posinf=1e30, neginf=-1e30), 16
+    )
+    B = thr.shape[1]
+    out = apply_bins(X, thr)
+    assert out.min() >= 0 and out.max() <= B - 1
+    assert (out[::17, 1] == B - 1).all()
+    assert (out[::31, 3] == B - 1).all()
+    assert (out[::23, 2] == 0).all()
+
+    # numpy fallback path must match whatever path apply_bins dispatched
+    ref = np.empty_like(out)
+    for f in range(X.shape[1]):
+        ref[:, f] = np.searchsorted(thr[f], X[:, f], side="left")
+    np.minimum(ref, B - 1, out=ref)
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_svml_rejects_fid_zero(tmp_path):
+    """SVML feature ids are 1-based: id 0 used to wrap onto the LAST
+    feature column silently (numpy path) or be dropped silently (native
+    path); both parsers now raise."""
+    import pytest
+
+    from quickrank_tpu.data.svml import read_svml
+
+    p = tmp_path / "bad.svml"
+    p.write_text("2 qid:1 0:9.5 2:1.0\n")
+    with pytest.raises(Exception, match="1-based"):
+        read_svml(str(p))
