@@ -174,6 +174,14 @@ class Dart(LambdaMart):
                     "the global step (docs/parallel.md multi-host "
                     "exclusions)"
                 )
+            if valid.num_features < tr.num_real_features:
+                raise ValueError(
+                    f"validation set has {valid.num_features} features but "
+                    f"training used {tr.num_real_features}: trees split on "
+                    "global feature ids, so a narrower validation matrix "
+                    "would silently misroute (pad the validation features "
+                    "to the training width)"
+                )
             va = TrainData.build(
                 valid, self.nthresholds, num_shards=num_shards,
                 # valid stays feature-replicated: its descent scoring uses
@@ -839,9 +847,13 @@ class Dart(LambdaMart):
             x = 1 if improved else min(10.0, last + 0.5)
         elif at == "PLUSHALF_RESET_LB1_UBRD":
             x = 1 if improved else min(self.rate_drop * model_size, last + 0.5)
-        x = min(x, model_size / 2)
+        # dart.cc:1176-1181: the cap is C integer division (model_size / 2
+        # with int operands -> floor), and round() is C round (half AWAY
+        # from zero) — Python's round() is banker's rounding and a true-
+        # division cap would let x=3.5 round to 4 > model_size // 2
+        x = min(x, model_size // 2)
         factor_hist.append(x)
-        return int(round(x))
+        return int(np.floor(x + 0.5))
 
     def _select_dropout(self, rng, weights, contributions, k) -> list:
         """Pick the dropout set D (dart.cc:708-854)."""
@@ -849,7 +861,8 @@ class Dart(LambdaMart):
         contr = np.asarray(contributions[:T], np.float64)
         st = self.sample_type
         if st in ("UNIFORM", "TOP_FIFTY"):
-            size = T if st == "UNIFORM" else int(round(T / 2))
+            # dart.cc:721: round(size / 2) on INTEGER division -> T // 2
+            size = T if st == "UNIFORM" else T // 2
             idx = rng.permutation(size)
             out = [int(i) for i in idx if weights[i] > 0][:k]
             return out
@@ -940,7 +953,7 @@ class Dart(LambdaMart):
     def _contribs_j(ens: EnsembleTensors, binned, doc_mask, n_real, md: int):
         """Per-tree mean |output| over the real docs, for the warm-start
         contribution rebuild.  Jitted with ens/binned as ARGUMENTS for the
-        same reason as _full_rescore_j below (constant-folding a
+        same reason as mart._rescore_scan_j (constant-folding a
         multi-hundred-MB binned tensor into the scan's HLO)."""
 
         def body(_, t):
@@ -952,49 +965,14 @@ class Dart(LambdaMart):
         return contribs
 
     @staticmethod
-    @partial(jax.jit, static_argnames=("md",))
-    def _full_rescore_j(ens: EnsembleTensors, binned, md: int):
-        """Score in bin space via the gather-free matmul descent (exact
-        same routing as training; 2026-08-20: the per-doc-gather descent
-        spiked rescore iterations to ~25 s at MSLR scale);
-        Kahan-compensated like the Mart-family score carries.
-        Jitted with the data as an ARGUMENT: an eager scan would close over
-        the ensemble tensors as constants and re-trace/re-compile on every
-        periodic rescore (~5 s per call on the TPU tunnel)."""
-        from quickrank_tpu.ops.scoring import kahan_add
+    def _full_rescore(ens: EnsembleTensors, td: TrainData, md: int):
+        """Full bin-space rescoring — delegates to mart.rescore_binned
+        (one implementation of the QS-fast-path / Kahan-scan dispatch;
+        r5 removed DART's duplicate so the single-controller guard and
+        table construction can't drift between the two copies)."""
+        from quickrank_tpu.learning.mart import rescore_binned
 
-        def body(carry, t):
-            tree = ens.tree(t)
-            d = tree_delta_binned(binned, tree, md)
-            w = jnp.where(t < ens.num_trees, ens.weight[t], 0.0)
-            return kahan_add(carry[0], carry[1], w * d), None
-
-        z = jnp.zeros((binned.shape[0],), jnp.float32)
-        (out, _), _ = jax.lax.scan(body, (z, z), jnp.arange(ens.capacity))
-        return out
-
-    @classmethod
-    def _full_rescore(cls, ens: EnsembleTensors, td: TrainData, md: int):
-        if (
-            jax.default_backend() == "tpu"
-            and jax.process_count() == 1
-            and int(ens.num_trees) > 0
-        ):
-            # bin-space QS bitvector pass (trees/qs.py): the host table
-            # build is ~60 ms per 1000 trees and the scoring pass ~0.3 s
-            # at MSLR scale vs ~2 s for the per-tree scan; the per-tree
-            # Kahan chain is preserved, so scores are bitwise the scan's
-            # (same construction as mart.py::rescore_binned, pinned by
-            # tests/test_qs.py).  Single-controller only: the host-built
-            # tables are process-local arrays, and mixing them with a
-            # multihost-global ``binned`` in one jit raises an
-            # incompatible-devices error — multihost runs take the scan
-            # path below, which closes over no host tables.
-            from quickrank_tpu.trees.qs import ensemble_to_qs, score_qs
-
-            qs = ensemble_to_qs(ens, space="bin")
-            return score_qs(td.step.binned.astype(jnp.float32), qs)
-        return cls._full_rescore_j(ens, td.step.binned, md)
+        return rescore_binned(ens, td.step, md)
 
     def _info_dict(self) -> dict:
         d = super()._info_dict()

@@ -335,6 +335,13 @@ class LineSearch(_LinearRanker):
         # Force an even point count so the center is on the grid
         # (line_search.cc:162-165).
         P_ = self.num_points - (self.num_points % 2)
+        if P_ < 2:
+            # num_points=1 would force P_=0 and divide-by-zero inside the
+            # jitted iteration (inf/NaN candidate weights, garbage argmax)
+            raise ValueError(
+                f"LineSearch: num_points={self.num_points} too small — at "
+                "least 2 grid points are required (reference default 21)"
+            )
         if valid is not None:
             vpadded, Xv = self._prepare(valid, mesh, axis)
 

@@ -207,7 +207,11 @@ def _descent_scorer(md):
     ensemble scorer on every mesh scoring call."""
 
     def fn(f, e):
-        return score_ensemble(f, e, max_depth=md)
+        # compensated: the descent fallback is the CPU/deep path summing up
+        # to 1000 trees — uncompensated f32 drift there is measurable
+        # (tests/test_precision.py) and would diverge from the training
+        # carry, the QS path, and the reference's double accumulator
+        return score_ensemble(f, e, max_depth=md, compensated=True)
 
     return fn
 
@@ -727,6 +731,14 @@ class Mart(LTRAlgorithm):
                     "same thresholds) — a host-local Dataset cannot join "
                     "the global step (docs/parallel.md multi-host "
                     "exclusions)"
+                )
+            if valid.num_features < tr.num_real_features:
+                raise ValueError(
+                    f"validation set has {valid.num_features} features but "
+                    f"training used {tr.num_real_features}: trees split on "
+                    "global feature ids, so a narrower validation matrix "
+                    "would silently misroute (pad the validation features "
+                    "to the training width)"
                 )
             va = TrainData.build(
                 valid,
@@ -1291,15 +1303,24 @@ def rescore_binned(ens: EnsembleTensors, sd: StepData, max_depth: int):
         qs = ensemble_to_qs(ens, space="bin")
         return score_qs(sd.binned.astype(jnp.float32), qs)
 
+    return _rescore_scan_j(ens, sd.binned, max_depth)
+
+
+@partial(jax.jit, static_argnames=("max_depth",))
+def _rescore_scan_j(ens: EnsembleTensors, binned, max_depth: int):
+    """Kahan-compensated per-tree rescoring scan (the multihost / no-QS
+    fallback of rescore_binned).  Jitted with ens/binned as ARGUMENTS: an
+    eager scan would close over the ensemble tensors as constants and
+    re-trace on every periodic rescore (~5 s per call on the tunnel)."""
     from quickrank_tpu.ops.scoring import kahan_add
 
     def body(carry, t):
         tree = ens.tree(t)
-        d = tree_delta_binned(sd.binned, tree, max_depth)
+        d = tree_delta_binned(binned, tree, max_depth)
         w = jnp.where(t < ens.num_trees, ens.weight[t], 0.0)
         return kahan_add(carry[0], carry[1], w * d), None
 
-    z = jnp.zeros((sd.binned.shape[0],), jnp.float32)
+    z = jnp.zeros((binned.shape[0],), jnp.float32)
     (out, _), _ = jax.lax.scan(body, (z, z), jnp.arange(ens.capacity))
     return out
 

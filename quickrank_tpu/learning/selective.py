@@ -35,6 +35,73 @@ NEGATIVE_STRATEGIES = ("RATIO", "MUL", "POS")
 ADAPTIVE_STRATEGIES = ("NO", "FIXED", "RATIO", "MIX")
 
 
+@partial(jax.jit, static_argnames=("num_docs_padded", "strategy"))
+def _select_presence(
+    scores_flat, key, rank_factor, random_factor,
+    idx, flat_labels, slot_mask, num_docs_padded, strategy,
+):
+    """Keep-mask for one sampling round (data tensors as jit ARGUMENTS —
+    a closure over the padded arrays would constant-fold multi-MB tensors
+    into the sampler executable, the learning-package rule)."""
+    labels = gather_padded(flat_labels, idx, slot_mask)
+    scores = gather_padded(scores_flat, idx, slot_mask)
+    sm = slot_mask
+    pos = (labels > 0) & sm
+    neg = (labels <= 0) & sm
+    npos = jnp.sum(pos, axis=-1, keepdims=True)
+    nneg = jnp.sum(neg, axis=-1, keepdims=True)
+
+    # rank of each negative among negatives, by descending score
+    keyed = jnp.where(neg, scores, -jnp.inf)
+    order = jnp.argsort(-keyed, axis=-1, stable=True)
+    neg_rank = jnp.argsort(order, axis=-1)
+
+    if strategy == "RATIO":
+        n_top = jnp.round(rank_factor * nneg).astype(jnp.int32)
+        n_rand = jnp.round(random_factor * nneg).astype(jnp.int32)
+    elif strategy == "MUL":
+        n_top = jnp.minimum(
+            jnp.round(rank_factor * npos).astype(jnp.int32), nneg
+        )
+        n_rand = jnp.minimum(
+            jnp.round(random_factor * npos).astype(jnp.int32), nneg
+        )
+    else:  # POS: negatives ranked above the last positive
+        all_rank = jnp.argsort(
+            jnp.argsort(
+                -jnp.where(sm, scores, -jnp.inf), axis=-1, stable=True
+            ),
+            axis=-1,
+        )
+        last_pos = jnp.max(
+            jnp.where(pos, all_rank, -1), axis=-1, keepdims=True
+        )
+        n_before = jnp.maximum(last_pos + 1 - npos, 0)
+        n_before = jnp.where(npos > 0, n_before, 0)
+        n_top = jnp.minimum(
+            jnp.round(rank_factor * n_before).astype(jnp.int32), nneg
+        )
+        n_rand = jnp.minimum(
+            jnp.round(random_factor * n_before).astype(jnp.int32),
+            nneg - n_top,
+        )
+    n_rand = jnp.minimum(n_rand, nneg - n_top)
+
+    top_kept = neg & (neg_rank < n_top)
+    # random extras among the remaining negatives
+    rest = neg & ~top_kept
+    r = jax.random.uniform(key, labels.shape)
+    rk = jnp.where(rest, r, jnp.inf)
+    rorder = jnp.argsort(rk, axis=-1)
+    rrank = jnp.argsort(rorder, axis=-1)
+    rand_kept = rest & (rrank < n_rand)
+
+    keep = pos | top_kept | rand_kept
+    return scatter_flat(
+        keep.astype(jnp.float32), idx, sm, num_docs_padded
+    ) > 0.5
+
+
 class LambdaMartSelective(LambdaMart):
     NAME = "LAMBDAMART-SELECTIVE"
 
@@ -86,69 +153,11 @@ class LambdaMartSelective(LambdaMart):
         self._improvements = [True] * max(1, int(self.normalization_factor))
         padded = tr.padded
         strategy = self.negative_strategy
-
-        @partial(jax.jit, static_argnames=())
-        def sampler(scores_flat, key, rank_factor, random_factor):
-            idx = padded.pad_index_global
-            labels = gather_padded(padded.labels, idx, padded.slot_mask)
-            scores = gather_padded(scores_flat, idx, padded.slot_mask)
-            sm = padded.slot_mask
-            pos = (labels > 0) & sm
-            neg = (labels <= 0) & sm
-            npos = jnp.sum(pos, axis=-1, keepdims=True)
-            nneg = jnp.sum(neg, axis=-1, keepdims=True)
-
-            # rank of each negative among negatives, by descending score
-            keyed = jnp.where(neg, scores, -jnp.inf)
-            order = jnp.argsort(-keyed, axis=-1, stable=True)
-            neg_rank = jnp.argsort(order, axis=-1)
-
-            if strategy == "RATIO":
-                n_top = jnp.round(rank_factor * nneg).astype(jnp.int32)
-                n_rand = jnp.round(random_factor * nneg).astype(jnp.int32)
-            elif strategy == "MUL":
-                n_top = jnp.minimum(
-                    jnp.round(rank_factor * npos).astype(jnp.int32), nneg
-                )
-                n_rand = jnp.minimum(
-                    jnp.round(random_factor * npos).astype(jnp.int32), nneg
-                )
-            else:  # POS: negatives ranked above the last positive
-                all_rank = jnp.argsort(
-                    jnp.argsort(
-                        -jnp.where(sm, scores, -jnp.inf), axis=-1, stable=True
-                    ),
-                    axis=-1,
-                )
-                last_pos = jnp.max(
-                    jnp.where(pos, all_rank, -1), axis=-1, keepdims=True
-                )
-                n_before = jnp.maximum(last_pos + 1 - npos, 0)
-                n_before = jnp.where(npos > 0, n_before, 0)
-                n_top = jnp.minimum(
-                    jnp.round(rank_factor * n_before).astype(jnp.int32), nneg
-                )
-                n_rand = jnp.minimum(
-                    jnp.round(random_factor * n_before).astype(jnp.int32),
-                    nneg - n_top,
-                )
-            n_rand = jnp.minimum(n_rand, nneg - n_top)
-
-            top_kept = neg & (neg_rank < n_top)
-            # random extras among the remaining negatives
-            rest = neg & ~top_kept
-            r = jax.random.uniform(key, labels.shape)
-            rk = jnp.where(rest, r, jnp.inf)
-            rorder = jnp.argsort(rk, axis=-1)
-            rrank = jnp.argsort(rorder, axis=-1)
-            rand_kept = rest & (rrank < n_rand)
-
-            keep = pos | top_kept | rand_kept
-            return scatter_flat(
-                keep.astype(jnp.float32), idx, sm, padded.num_docs_padded
-            ) > 0.5
-
-        self._sampler = sampler
+        self._sampler = lambda scores_flat, key, rf, rdf: _select_presence(
+            scores_flat, key, rf, rdf,
+            padded.pad_index_global, padded.labels, padded.slot_mask,
+            padded.num_docs_padded, strategy,
+        )
         self._cached_presence = None
 
     def _update_presence(self, m, tr, scores_tr, key):

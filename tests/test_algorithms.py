@@ -413,3 +413,39 @@ def test_device_scorer_matches_score_dataset(splits):
     fn, X = ob.device_scorer(test)
     np.testing.assert_allclose(np.asarray(fn(jnp.asarray(X))), ref,
                                rtol=0, atol=0)
+
+
+def test_dart_dropout_rounding_matches_reference():
+    """dart.cc:1176-1181 semantics: C round() (half AWAY from zero — not
+    Python's banker's rounding) and an INTEGER-division half-model cap.
+    r5: int(round(2.5)) == 2 and a fractional cap let 3.5 round past
+    model_size // 2."""
+    import numpy as np
+
+    class _R:  # rng whose skip-draw never skips
+        def random(self):
+            return 1.0
+
+    d = Dart(ntrees=10, rate_drop=0.1)
+    # x = 0.1 * 25 = 2.5 -> C round -> 3 (banker's would give 2)
+    assert d._trees_to_dropout(_R(), 25, [0.0], [0.0], -np.inf) == 3
+    # cap: x = 0.5 * 7 = 3.5, cap = 7 // 2 = 3 (a fractional 3.5 cap
+    # would round to 4 > half the model)
+    d2 = Dart(ntrees=10, rate_drop=0.5)
+    assert d2._trees_to_dropout(_R(), 7, [0.0], [0.0], -np.inf) == 3
+
+
+def test_stochastic_negative_xml_roundtrip_keeps_fraction(splits, tmp_path):
+    """StochasticNegative reuses the subsample flag as the negative
+    fraction (the reference's convention); r5: the base class serialized
+    the forced subsample=1.0, so a --restart-train reload silently ran
+    as plain LambdaMART."""
+    train, _, _ = splits
+    sn = StochasticNegative(ntrees=4, nleaves=8, nthresholds=32,
+                            subsample=0.3, seed=1)
+    sn.learn(train, None, Ndcg(10), verbose=False)
+    p = tmp_path / "sn.xml"
+    sn.save(str(p))
+    loaded = LTRAlgorithm.load(str(p))
+    assert isinstance(loaded, StochasticNegative)
+    assert abs(loaded.negative_fraction - 0.3) < 1e-9
