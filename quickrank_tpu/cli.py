@@ -159,11 +159,19 @@ def main(argv=None) -> int:
     from quickrank_tpu.utils.backend import select_platform
 
     # resolve the backend BEFORE the driver touches any device: a wedged
-    # TPU tunnel otherwise hangs the whole run with no diagnostics.
-    # Codegen-only invocations (--model-file/--code-file, no datasets)
-    # never execute on a device — skip the probe entirely for those.
+    # TPU tunnel otherwise hangs the whole run with no diagnostics.  Every
+    # phase that builds jnp arrays counts — codegen loads the model into
+    # device tensors (io/xml_model.py parse_ensemble) and optimize-only
+    # runs (--train-partial) execute jitted passes, so they need the
+    # probe too; only a bare --help-style invocation skips it.
     platform = params.pop("platform", "auto")
-    needs_device = any(params.get(k) for k in ("train", "valid", "test"))
+    needs_device = any(
+        params.get(k)
+        for k in (
+            "train", "valid", "test", "train_partial", "valid_partial",
+            "model_file", "model_in", "opt_model",
+        )
+    )
     if needs_device or platform != "auto":
         select_platform(
             platform,

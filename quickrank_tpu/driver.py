@@ -120,7 +120,10 @@ def run(params: dict) -> dict:
         optimizer = optimization_factory(
             opt_algo=p.get("opt_algo", "EPRUNING"),
             opt_method=p.get("opt_method", "QUALITY_LOSS"),
-            pruning_rate=p.get("pruning_rate", 1.0),
+            # 0.5 = the CLI/reference default (prune half the ensemble);
+            # a 1.0 default would mean "prune exactly ONE tree" under the
+            # count semantics of rates >= 1
+            pruning_rate=p.get("pruning_rate", 0.5),
             with_line_search=p.get("with_line_search", False)
             or bool(p.get("line_search_model")),
             line_search_kwargs=dict(
@@ -155,6 +158,18 @@ def run(params: dict) -> dict:
         # Restrict every split to the listed feature columns (quicklearn
         # declares --features, quicklearn.cc:197, but leaves the filtering
         # TODO in driver.cc:110 — implemented here).
+        if p.get("model_in"):
+            # models score by GLOBAL feature id; compacting the columns
+            # under a loaded model would silently misroute every split
+            # (out-of-range gathers clamp under jit — no error, wrong
+            # metrics).  A model trained under --features must be scored
+            # under the same selection by re-passing the same file to a
+            # fresh train run, not combined with --model-in.
+            raise SystemExit(
+                "--features cannot be combined with --model-in: the loaded "
+                "model's split ids refer to the full feature space, and "
+                "column selection would silently misroute them"
+            )
         keep = _read_feature_file(p["features"])
         train, valid, test = (
             _select_features(ds, keep) if ds is not None else None
@@ -198,7 +213,16 @@ def run(params: dict) -> dict:
         mesh = make_mesh(int(p["num_shards"]))
 
     # -- training phase (driver.cc:228-246) ----------------------------------
-    if train is not None and not p.get("skip_train", False):
+    # A model loaded via --model-in trains ONLY under --restart-train: the
+    # reference driver skips training otherwise (driver.cc: `!pmap.isSet
+    # ("model-in") || pmap.isSet("restart-train")`) — without this guard a
+    # "--model-in m.xml --train t.svml --opt-model o.xml" invocation would
+    # silently retrain from scratch and prune the wrong model.
+    if (
+        train is not None
+        and not p.get("skip_train", False)
+        and (not p.get("model_in") or p.get("restart_train"))
+    ):
         # Optional kwargs are gated on each learner's signature: quicklearn
         # drives every algorithm through the same flag surface
         # (driver.cc:45-226), but e.g. the linear rankers have no partial

@@ -300,14 +300,26 @@ class Cleaver(Optimization):
             ls = self.line_search
             if opt_last_only:
                 ls.train_only_last = window
-            if ls.best_weights is None:
+            lw = None if ls.best_weights is None else np.asarray(
+                ls.get_weights()
+            )
+            if lw is None or lw.size == 0:
+                # no pre-learned weights (incl. an XML-loaded LS whose
+                # <ensemble> was empty — best_weights is a size-0 array,
+                # not None): run the line search fresh
                 ls.update_weights(weights)
                 ls.learn(ptrain, pvalid, metric, verbose=False, mesh=mesh)
                 weights = ls.get_weights().copy()
             else:
                 # Reuse pre-learned LS weights, rescaled to the algo's weight
-                # magnitude (cleaver.cc:265-291).
-                lw = ls.get_weights()
+                # magnitude (cleaver.cc:265-291; the reference exits on a
+                # size mismatch, cleaver.cc:268-273).
+                if lw.size != weights.size:
+                    raise ValueError(
+                        f"--line-search-model: {lw.size} weights but the "
+                        f"ensemble has {weights.size} trees "
+                        "(cleaver.cc:268-273 rejects the same mismatch)"
+                    )
                 scale = (np.mean(lw) / max(np.mean(starting_weights), 1e-12))
                 weights = lw / max(scale, 1e-12)
 

@@ -110,7 +110,18 @@ def make_mesh_2d(
     histogram/split scan over ``feat`` (mirrors the per-feature OpenMP loop
     of rt.cc:257-292 as a second mesh dimension)."""
 
-    devs = np.asarray(jax.devices()[: data * feat]).reshape(data, feat)
+    all_devs = jax.devices()
+    need = data * feat
+    if len(all_devs) < need:
+        # same actionable message as make_mesh's 1-D check — a bare
+        # reshape error would hide the device-count cause
+        raise ValueError(
+            f"make_mesh_2d({data}, {feat}) needs {need} devices but only "
+            f"{len(all_devs)} are visible; on CPU set XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={need} before any "
+            "device use (tests/conftest.py does this)"
+        )
+    devs = np.asarray(all_devs[:need]).reshape(data, feat)
     return Mesh(devs, axes)
 
 

@@ -42,6 +42,14 @@ def process_query_block(
     assign_queries_to_shards) so hosts stay load-balanced.  With
     pre-split per-host SVML files, skip this and read your own file."""
     counts = ds.docs_per_query()
+    if num_processes > len(counts):
+        # the bound cap below (len(counts) - (num_processes - pidx)) would
+        # go negative and silently hand out wrapped/overlapping blocks
+        raise ValueError(
+            f"process_query_block: {num_processes} processes > "
+            f"{len(counts)} queries — every process needs at least one "
+            "whole query"
+        )
     cum = np.concatenate([[0], np.cumsum(counts)])
     target = cum[-1] / num_processes
     bounds = [0]
@@ -71,7 +79,14 @@ def merge_threshold_candidates(all_thr: np.ndarray) -> np.ndarray:
     out = np.empty((F, B), np.float32)
     for f in range(F):
         cand = np.unique(all_thr[:, f, :].reshape(-1))
-        cand = cand[np.isfinite(cand)]
+        # drop the FLT_MAX sentinel/pad entries of the local tables: they
+        # are FINITE (np.isfinite keeps them), and a surviving sentinel
+        # always wins the top quantile slot, duplicating the out[:, B-1]
+        # sentinel and silently losing one bin of resolution per feature
+        cand = cand[np.isfinite(cand) & (cand < np.float32(3.4028235e38))]
+        if len(cand) == 0:  # constant/empty feature: sentinel-only table
+            out[f, :] = np.float32(3.4028235e38)
+            continue
         if len(cand) >= B:
             idx = np.linspace(0, len(cand) - 1, B - 1).round().astype(int)
             vals = cand[idx]
