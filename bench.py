@@ -62,7 +62,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_scoring(on_tpu: bool) -> float:
+def bench_scoring(on_tpu: bool) -> tuple:
     from quickrank_tpu.ops.oblivious import score_oblivious
     from quickrank_tpu.ops.pallas_oblivious import score_oblivious_pallas
     from quickrank_tpu.trees.oblivious import ObliviousEnsemble
@@ -151,16 +151,20 @@ def bench_deep_scoring(on_tpu: bool) -> float:
         fn = score_qs
     out = fn(feats, qs)
     float(out[0])
+    # O(N) accumulator chain (same discipline as bench_scoring): chaining
+    # through `feats + out[0]*0.0` would rebuild the [N, F] feature array
+    # with two extra eager dispatches inside every TIMED round
+    acc = out * 0.0
     for _ in range(4):
-        out = fn(feats + out[0] * 0.0, qs)
-    float(out[0])
+        acc = acc * 0.5 + fn(feats, qs)
+    float(acc[0])
     rounds, repeats = 8, 3
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         for _ in range(rounds):
-            out = fn(feats + out[0] * 0.0, qs)
-        s = float(out[0])
+            acc = acc * 0.5 + fn(feats, qs)
+        s = float(acc[0])
         times.append((time.perf_counter() - t0) / rounds)
     if not np.isfinite(s):
         raise RuntimeError(f"deep scoring bench non-finite sum {s}")
@@ -347,8 +351,10 @@ def _device_responsive(timeout_s: int = 150) -> bool:
 def main():
     # Persistent compile cache: the driver's end-of-round bench (and repeat
     # runs) skip the 30-140 s first-compile cost of the training step.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/qrtpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    # Shared helper so the QRTPU_CACHE_DIR override behaves like the CLIs.
+    from quickrank_tpu.utils.backend import enable_compile_cache
+
+    enable_compile_cache()
     # measure the compiled-C comparison point first (pure host, no jax
     # backend touched — build_model uses numpy only)
     baseline = measure_c_baseline()
@@ -358,11 +364,9 @@ def main():
         log("# default device unresponsive (wedged tunnel?) — falling back "
             "to CPU so the bench still reports")
         degraded = True
-        os.environ["XLA_FLAGS"] = (
-            os.environ.get("XLA_FLAGS", "")
-            + " --xla_force_host_platform_device_count=1"
-        ).strip()
-        jax.config.update("jax_platforms", "cpu")
+        from quickrank_tpu.utils.backend import force_cpu
+
+        force_cpu(1)
 
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"

@@ -102,9 +102,16 @@ int bin_build_thresholds(const float *feats, int64_t N, int64_t F,
         out[nu] = FLT_MAX;
         cnt = nu + 1;
       } else {
-        float step = std::fabs(fmax - fmin) / static_cast<float>(nthresholds);
+        // DOUBLE arithmetic (matching the numpy fallback bit-for-bit):
+        // fmax - fmin can exceed FLT_MAX for full-range features (e.g.
+        // +/-3.4e38 after the non-finite sanitize), overflowing a float
+        // step to inf and the first grid entry to NaN (inf * 0)
+        const double lo = static_cast<double>(fmin);
+        const double step =
+            std::fabs(static_cast<double>(fmax) - lo) /
+            static_cast<double>(nthresholds);
         for (int64_t i = 0; i < nthresholds; ++i)
-          out[i] = fmin + step * static_cast<float>(i);
+          out[i] = static_cast<float>(lo + step * static_cast<double>(i));
         out[nthresholds] = FLT_MAX;
         cnt = Bcap;
       }

@@ -73,6 +73,12 @@ void parse_chunk(const char *buf, size_t begin, size_t end_pos, Chunk *out) {
     }
     q += 4;
     int64_t qid = strtoll(q, &next, 10);
+    if (next == q) {
+      // 'qid:' followed by a non-number would silently parse as qid 0
+      // while the numpy fallback raises on int('')
+      out->error = "malformed qid";
+      return;
+    }
     q = skip_ws(next, stop);
 
     Row row;
@@ -81,7 +87,13 @@ void parse_chunk(const char *buf, size_t begin, size_t end_pos, Chunk *out) {
     row.begin = static_cast<uint32_t>(out->pool.size());
     while (q < stop) {
       long fid = strtol(q, &next, 10);
-      if (next == q || *next != ':') break;
+      if (next == q || *next != ':') {
+        // trailing garbage is an ERROR, not an implicit end-of-line:
+        // breaking silently would drop the rest of the row's features
+        // where the numpy fallback raises (keep edge cases identical)
+        out->error = "malformed feature token";
+        return;
+      }
       if (fid < 1) {
         // SVML feature ids are 1-based; 0/negative would otherwise be
         // silently skipped here while the numpy fallback raises — keep
@@ -91,6 +103,12 @@ void parse_chunk(const char *buf, size_t begin, size_t end_pos, Chunk *out) {
       }
       q = next + 1;
       float val = strtof(q, &next);
+      if (next == q) {
+        // unparseable value would be stored as 0.0 and the rest of the
+        // line dropped; numpy raises on float('abc')
+        out->error = "malformed feature value";
+        return;
+      }
       q = skip_ws(next, stop);
       out->pool.emplace_back(static_cast<int32_t>(fid), val);
       if (fid > out->max_fid) out->max_fid = static_cast<int32_t>(fid);
@@ -124,6 +142,11 @@ SvmlResult *svml_read(const char *path, int nthreads) {
   long fsize = ftell(f);
   fseek(f, 0, SEEK_SET);
   char *buf = static_cast<char *>(malloc(static_cast<size_t>(fsize) + 1));
+  if (!buf) {
+    fclose(f);
+    res->error = strdup("out of memory (file buffer)");
+    return res;
+  }
   if (fread(buf, 1, static_cast<size_t>(fsize), f) !=
       static_cast<size_t>(fsize)) {
     fclose(f);
@@ -186,6 +209,13 @@ SvmlResult *svml_read(const char *path, int nthreads) {
       static_cast<float *>(malloc(static_cast<size_t>(num_docs) * 4));
   res->qids =
       static_cast<int64_t *>(malloc(static_cast<size_t>(num_docs) * 8));
+  if (!res->features || !res->labels || !res->qids) {
+    // a NULL write from the densify threads would SIGSEGV the whole
+    // interpreter; a catchable error lets data/svml.py fall back to the
+    // (lower-peak-memory) numpy parser
+    res->error = strdup("out of memory (dense matrix)");
+    return res;
+  }
 
   // densify in parallel: each chunk owns a contiguous row range
   std::vector<int64_t> row_offsets(chunks.size() + 1, 0);

@@ -92,8 +92,14 @@ class _ObliviousFit:
         Node-numbering agnostic (works for freshly-trained heap-layout trees
         and XML-loaded DFS-numbered ones): per level, (feature, threshold)
         is read off the leftmost path; leaf l is reached by walking l's bits.
+        Cached per ensemble (like Mart's _perfect_embedding/_qs_tables):
+        the pure-Python extraction is ~T*(D + L*D) iterations, which a
+        per-round quickscore mesh loop would otherwise repay every call.
         """
         ens = self._require_model()
+        cached = getattr(self, "_obl_cache", None)
+        if cached is not None and cached[0] is ens:
+            return cached[1]
         T = int(ens.num_trees)
         D = self.treedepth
         L = 2**D
@@ -125,7 +131,7 @@ class _ObliviousFit:
                         break
                     node = rgt[t, node] if (l >> (D - 1 - d)) & 1 else lft[t, node]
                 leaf[t, l] = lv[t, node]
-        return ObliviousEnsemble(
+        obl = ObliviousEnsemble(
             fid=jnp.asarray(fid),
             thr=jnp.asarray(thr),
             thr_bin=jnp.asarray(tbin),
@@ -133,6 +139,8 @@ class _ObliviousFit:
             weight=ens.weight[:T],
             num_trees=jnp.asarray(T, jnp.int32),
         )
+        self._obl_cache = (ens, obl)
+        return obl
 
     def _dispatch_scorer(self, ds, tree_chunk: int = 0):
         """Oblivious override of Mart's dispatch: the bit-OR fast path

@@ -105,9 +105,13 @@ def build_thresholds(
         if nthresholds == 0 or len(uniq) <= nthresholds:
             th = np.concatenate([uniq, [FLT_MAX]]).astype(np.float32)
         else:
-            fmin, fmax = np.float32(uniq[0]), np.float32(uniq[-1])
-            step = np.float32(abs(fmax - fmin)) / np.float32(nthresholds)
-            th = (fmin + step * np.arange(nthresholds, dtype=np.float32)).astype(
+            # DOUBLE grid arithmetic (the native binner matches this
+            # bit-for-bit): fmax - fmin can exceed FLT_MAX for full-range
+            # features, overflowing a float32 step to inf and the first
+            # entry to NaN (inf * 0)
+            fmin, fmax = np.float64(uniq[0]), np.float64(uniq[-1])
+            step = np.float64(abs(fmax - fmin)) / np.float64(nthresholds)
+            th = (fmin + step * np.arange(nthresholds, dtype=np.float64)).astype(
                 np.float32
             )
             th = np.concatenate([th, [FLT_MAX]]).astype(np.float32)

@@ -56,12 +56,19 @@ def main(argv=None) -> int:
     import inspect
 
     kw = {}
-    if args.num_shards and "mesh" in inspect.signature(
-        model.score_dataset
-    ).parameters:
-        from quickrank_tpu.parallel import make_mesh
+    if args.num_shards:
+        if "mesh" in inspect.signature(model.score_dataset).parameters:
+            from quickrank_tpu.parallel import make_mesh
 
-        kw["mesh"] = make_mesh(args.num_shards)
+            kw["mesh"] = make_mesh(args.num_shards)
+        else:
+            # without this the user reads the reported throughput as
+            # N-way-sharded when the model ran single-device
+            print(
+                f"# WARNING: --num-shards {args.num_shards} ignored — "
+                f"{type(model).__name__}.score_dataset has no mesh "
+                "support; timing below is SINGLE-device"
+            )
 
     # report which fast path the dispatcher picked (docs/scoring.md)
     if hasattr(model, "_perfect_embedding"):

@@ -19,16 +19,28 @@ import sys
 
 def device_responsive(timeout_s: int = 150) -> bool:
     """True iff the default jax backend completes a trivial reduction in a
-    fresh subprocess within ``timeout_s`` seconds."""
+    fresh subprocess within ``timeout_s`` seconds.
+
+    The timed-out probe child is TERMINATED (SIGTERM) with a kill grace
+    period, never SIGKILLed directly: killing a client mid-device-
+    operation is exactly what wedges the tunnel relay (the failure mode
+    this probe exists to detect — subprocess.run(timeout=...) would
+    SIGKILL and could wedge a slow-but-alive tunnel itself)."""
+    proc = subprocess.Popen(
+        [sys.executable, "-c",
+         "import jax, jax.numpy as jnp; "
+         "jnp.arange(4).sum().block_until_ready()"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
     try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; "
-             "jnp.arange(4).sum().block_until_ready()"],
-            timeout=timeout_s, capture_output=True,
-        )
-        return r.returncode == 0
+        return proc.wait(timeout=timeout_s) == 0
     except subprocess.TimeoutExpired:
+        proc.terminate()  # SIGTERM: let the runtime detach cleanly
+        try:
+            proc.wait(timeout=15)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
         return False
 
 

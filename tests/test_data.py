@@ -189,10 +189,15 @@ def test_native_binner_matches_numpy(rng):
             if len(uniq) <= nth:
                 th = np.concatenate([uniq, [FLT_MAX]]).astype(np.float32)
             else:
-                fmin, fmax = np.float32(uniq[0]), np.float32(uniq[-1])
-                step = np.float32(abs(fmax - fmin)) / np.float32(nth)
+                # r5 grid formula: DOUBLE arithmetic (a float32 step
+                # overflows to inf for full-range features), rounded to
+                # f32 per entry — the native binner matches bit-for-bit
+                fmin, fmax = np.float64(uniq[0]), np.float64(uniq[-1])
+                step = np.float64(abs(fmax - fmin)) / np.float64(nth)
                 th = np.concatenate([
-                    (fmin + step * np.arange(nth, dtype=np.float32)),
+                    (fmin + step * np.arange(nth, dtype=np.float64)).astype(
+                        np.float32
+                    ),
                     [FLT_MAX],
                 ]).astype(np.float32)
             rows.append(th)
