@@ -63,6 +63,26 @@ def _select_features(ds: Dataset, keep: np.ndarray) -> Dataset:
     return select_columns(ds, keep)
 
 
+def _model_max_feature(algo):
+    """Highest feature id a loaded model reads, or None when unknown —
+    used to validate --features compatibility (ids are selection-local
+    for models trained under --features)."""
+    ens = getattr(algo, "ensemble", None)
+    if ens is not None and int(getattr(ens, "num_trees", 0) or 0) > 0:
+        T = int(ens.num_trees)
+        f = np.asarray(ens.feature)[:T]
+        leaf = np.asarray(ens.is_leaf)[:T]
+        vals = f[(~leaf) & (f >= 0)]
+        return int(vals.max()) if vals.size else None
+    w = getattr(algo, "best_weights", None)
+    if w is not None and len(w):
+        return len(w) - 1
+    fe = getattr(algo, "features_", None)
+    if fe is not None and len(fe):
+        return int(np.max(fe))
+    return None
+
+
 def run(params: dict) -> dict:
     """Full pipeline from a flat parameter dict (the pmap equivalent).
 
@@ -158,19 +178,21 @@ def run(params: dict) -> dict:
         # Restrict every split to the listed feature columns (quicklearn
         # declares --features, quicklearn.cc:197, but leaves the filtering
         # TODO in driver.cc:110 — implemented here).
-        if p.get("model_in"):
-            # models score by GLOBAL feature id; compacting the columns
-            # under a loaded model would silently misroute every split
-            # (out-of-range gathers clamp under jit — no error, wrong
-            # metrics).  A model trained under --features must be scored
-            # under the same selection by re-passing the same file to a
-            # fresh train run, not combined with --model-in.
-            raise SystemExit(
-                "--features cannot be combined with --model-in: the loaded "
-                "model's split ids refer to the full feature space, and "
-                "column selection would silently misroute them"
-            )
         keep = _read_feature_file(p["features"])
+        if p.get("model_in"):
+            # a loaded model is compatible with --features only when it
+            # was trained under the SAME selection (its split ids are
+            # compacted to 0..K-1 at train time).  A model referencing
+            # ids >= len(keep) was trained on a wider space and column
+            # compaction would silently misroute every split (jit's
+            # out-of-range gathers clamp — wrong metrics, no error).
+            needed = _model_max_feature(algo)
+            if needed is not None and needed >= len(keep):
+                raise SystemExit(
+                    f"--features: the loaded model references feature id "
+                    f"{needed} but only {len(keep)} columns are selected — "
+                    "it was not trained under this feature selection"
+                )
         train, valid, test = (
             _select_features(ds, keep) if ds is not None else None
             for ds in (train, valid, test)

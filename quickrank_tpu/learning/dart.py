@@ -48,7 +48,11 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from quickrank_tpu.learning.lambdamart import LambdaMart
-from quickrank_tpu.learning.mart import TrainData, eval_metric
+from quickrank_tpu.learning.mart import (
+    TrainData,
+    build_valid_traindata,
+    eval_metric,
+)
 from quickrank_tpu.ops.scoring import leaf_values_onehot, tree_delta_binned
 from quickrank_tpu.trees.grow import leaf_outputs
 from quickrank_tpu.trees.structs import EnsembleTensors, Tree
@@ -163,34 +167,7 @@ class Dart(LambdaMart):
                 train, self.nthresholds, num_shards=num_shards,
                 num_feat_shards=num_feat_shards,
             )
-        if isinstance(valid, TrainData):
-            va = valid
-        elif valid is not None:
-            if tr.presharded:
-                raise ValueError(
-                    "multi-host training: the validation fold must also be "
-                    "a build_train_data_multihost TrainData (same mesh, "
-                    "same thresholds) — a host-local Dataset cannot join "
-                    "the global step (docs/parallel.md multi-host "
-                    "exclusions)"
-                )
-            if valid.num_features < tr.num_real_features:
-                raise ValueError(
-                    f"validation set has {valid.num_features} features but "
-                    f"training used {tr.num_real_features}: trees split on "
-                    "global feature ids, so a narrower validation matrix "
-                    "would silently misroute (pad the validation features "
-                    "to the training width)"
-                )
-            va = TrainData.build(
-                valid, self.nthresholds, num_shards=num_shards,
-                # valid stays feature-replicated: its descent scoring uses
-                # global feature ids over the full matrix (as in Mart.learn);
-                # slice off the train-side feature-pad threshold rows
-                thresholds=np.asarray(tr.step.thresholds)[: valid.num_features],
-            )
-        else:
-            va = None
+        va = build_valid_traindata(tr, valid, self.nthresholds, num_shards)
         if mesh is not None and not tr.presharded:
             import dataclasses as _dc
 

@@ -103,6 +103,15 @@ class _LinearRanker(LTRAlgorithm):
         max_failed_vali: int = 20,
     ):
         """Defaults mirror quicklearn's CA/LS group (src/quicklearn.cc:136-141)."""
+        if int(num_points) < 2:
+            # shared guard for BOTH linear rankers: CA divides its step by
+            # num_points and LineSearch by the evened count — a 0/1-point
+            # grid yields inf/NaN candidates inside jit (silent garbage
+            # argmax), and a 1-point "search" is meaningless anyway
+            raise ValueError(
+                f"num_points={num_points} too small — at least 2 grid "
+                "points are required (reference default 21)"
+            )
         self.num_points = int(num_points)
         self.window_size = float(window_size)
         self.reduction_factor = float(reduction_factor)
@@ -333,15 +342,8 @@ class LineSearch(_LinearRanker):
         padded, X = self._prepare(train, mesh, axis)
         F = train.num_features
         # Force an even point count so the center is on the grid
-        # (line_search.cc:162-165).
+        # (line_search.cc:162-165); >= 2 by the shared __init__ guard.
         P_ = self.num_points - (self.num_points % 2)
-        if P_ < 2:
-            # num_points=1 would force P_=0 and divide-by-zero inside the
-            # jitted iteration (inf/NaN candidate weights, garbage argmax)
-            raise ValueError(
-                f"LineSearch: num_points={self.num_points} too small — at "
-                "least 2 grid points are required (reference default 21)"
-            )
         if valid is not None:
             vpadded, Xv = self._prepare(valid, mesh, axis)
 

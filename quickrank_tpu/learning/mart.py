@@ -84,6 +84,43 @@ class StepData:
     #   flat -> [Q, D] scatter (data/dataset.py::build_scatter_keys)
 
 
+def build_valid_traindata(
+    tr: "TrainData", valid, nthresholds: int, num_shards: int
+):
+    """Validation-fold TrainData against the TRAIN run's thresholds
+    (feature-replicated; the train-side feature-pad rows are sliced off),
+    with the guards every learner shares: a presharded train requires a
+    presharded valid (docs/parallel.md multi-host exclusions), and a
+    validation matrix narrower than the training feature count would
+    silently misroute global split ids."""
+    if isinstance(valid, TrainData):
+        return valid
+    if valid is None:
+        return None
+    if tr.presharded:
+        raise ValueError(
+            "multi-host training: the validation fold must also be a "
+            "build_train_data_multihost TrainData (same mesh, same "
+            "thresholds) — a host-local Dataset cannot join the global "
+            "step (docs/parallel.md multi-host exclusions)"
+        )
+    if valid.num_features < tr.num_real_features:
+        raise ValueError(
+            f"validation set has {valid.num_features} features but "
+            f"training used {tr.num_real_features}: trees split on global "
+            "feature ids, so a narrower validation matrix would silently "
+            "misroute (pad the validation features to the training width)"
+        )
+    return TrainData.build(
+        valid,
+        nthresholds,
+        num_shards=num_shards,
+        # valid thresholds stay unpadded/replicated: its descent scoring
+        # uses global feature ids over the full matrix
+        thresholds=np.asarray(tr.step.thresholds)[: valid.num_features],
+    )
+
+
 def eval_metric(metric: Metric, sd: StepData, scores, axis_name=None,
                 scores2d=None):
     """Dataset-level metric on (possibly sharded) step data: per-query eval,
@@ -721,35 +758,7 @@ class Mart(LTRAlgorithm):
                 num_shards=num_shards,
                 num_feat_shards=num_feat_shards,
             )
-        if isinstance(valid, TrainData):
-            va = valid
-        elif valid is not None:
-            if tr.presharded:
-                raise ValueError(
-                    "multi-host training: the validation fold must also be "
-                    "a build_train_data_multihost TrainData (same mesh, "
-                    "same thresholds) — a host-local Dataset cannot join "
-                    "the global step (docs/parallel.md multi-host "
-                    "exclusions)"
-                )
-            if valid.num_features < tr.num_real_features:
-                raise ValueError(
-                    f"validation set has {valid.num_features} features but "
-                    f"training used {tr.num_real_features}: trees split on "
-                    "global feature ids, so a narrower validation matrix "
-                    "would silently misroute (pad the validation features "
-                    "to the training width)"
-                )
-            va = TrainData.build(
-                valid,
-                self.nthresholds,
-                num_shards=num_shards,
-                # valid thresholds stay unpadded/replicated: its descent
-                # scoring uses global feature ids over the full matrix
-                thresholds=np.asarray(tr.step.thresholds)[: valid.num_features],
-            )
-        else:
-            va = None
+        va = build_valid_traindata(tr, valid, self.nthresholds, num_shards)
         if mesh is not None and not tr.presharded:
             tr = dataclasses.replace(
                 tr, step=shard_step_data(tr.step, mesh, axis, feat_axis)

@@ -96,17 +96,16 @@ def test_dart_sharded_matches_single_device(small_splits):
     from quickrank_tpu.learning import Dart
 
     train, valid, _ = small_splits
-    d1 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=3)
+    # seed 7: a tie-free trajectory under the reference-faithful dropout
+    # rounding (r5: x=0.5 drops a tree as dart.cc does).  Seeds whose
+    # keep/restore decision lands on a metric-psum tie flip by ~1e-2 (the
+    # module-docstring variance class, seen at seeds 3-5) — pick a seed
+    # where the comparison is tight rather than widening the tolerance.
+    d1 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=7)
     i1 = d1.learn(train, valid, Ndcg(10), verbose=False)
-    d4 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=3)
+    d4 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=7)
     i4 = d4.learn(train, valid, Ndcg(10), verbose=False, mesh=make_mesh(4))
-    # atol covers one keep/restore decision flip: a ~1e-7 metric-psum
-    # reordering near a fit_improved tie restores-vs-keeps a dropped set,
-    # shifting subsequent metrics by ~1e-2 (the module-docstring variance
-    # class; this trajectory hits such a tie since r5 aligned the dropout
-    # rounding with dart.cc — x=0.5 now drops a tree, as the reference
-    # does, where Python's banker round() dropped none)
-    np.testing.assert_allclose(i1["train"], i4["train"], atol=3e-2)
+    np.testing.assert_allclose(i1["train"], i4["train"], atol=1e-3)
 
 
 def test_dart_bestk_sharded_matches_single_device(small_splits):
@@ -140,22 +139,22 @@ def test_dart_2d_mesh_matches_single_device(small_splits):
     from quickrank_tpu.parallel.mesh import make_mesh_2d
 
     train, valid, _ = small_splits
-    d1 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=3)
+    d1 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=7)
     i1 = d1.learn(train, valid, Ndcg(10), verbose=False)
-    df = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=3)
+    df = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=7)
     i_f = df.learn(
         train, valid, Ndcg(10), verbose=False, mesh=make_mesh_2d(1, 4)
     )
     np.testing.assert_array_equal(i1["train"], i_f["train"])
     np.testing.assert_array_equal(i1["valid"], i_f["valid"])
-    d2 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=3)
+    d2 = Dart(ntrees=5, nleaves=8, nthresholds=32, rate_drop=0.25, seed=7)
     i2 = d2.learn(
         train, valid, Ndcg(10), verbose=False, mesh=make_mesh_2d(2, 4)
     )
-    # data-axis tolerance covers a keep/restore tie flip (see the 1-D
-    # test); the feature-only (1 x 4) comparison above stays EXACT
-    np.testing.assert_allclose(i1["train"], i2["train"], atol=3e-2)
-    np.testing.assert_allclose(i1["valid"], i2["valid"], atol=3e-2)
+    # tie-free seed (see the 1-D test); the feature-only (1 x 4)
+    # comparison above stays EXACT
+    np.testing.assert_allclose(i1["train"], i2["train"], atol=1e-3)
+    np.testing.assert_allclose(i1["valid"], i2["valid"], atol=1e-3)
 
 
 def test_xdart_2d_mesh_matches_single_device(small_splits):
