@@ -31,6 +31,11 @@ def splits():
     return make_train_valid_test()
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    """Function-scoped: a session-scoped shared stream made every
+    rng-consuming test's data depend on which tests ran before it — a
+    failure seen in a full run could not be reproduced by running the
+    failing test alone (different draws), and adding any rng-using test
+    reshuffled inputs for all later ones."""
     return np.random.default_rng(1234)

@@ -118,16 +118,36 @@ def _run_workers(tmp_path, mode):
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         + os.pathsep + env.get("PYTHONPATH", "")
     )
+    # each worker writes to its own FILE (a PIPE could fill with jax/XLA
+    # warnings and deadlock a worker mid-write while its peer waits at the
+    # jax.distributed barrier), and a timeout kills BOTH workers instead
+    # of leaking them (still holding the coordinator port) into the rest
+    # of the suite
+    logs = [str(tmp_path / f"worker{pid}_{mode}.log") for pid in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, script, coord, str(pid), "2", out_path, mode],
-            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, stdout=open(logs[pid], "w"), stderr=subprocess.STDOUT,
         )
         for pid in range(2)
     ]
-    outs = [p.communicate(timeout=560)[0].decode() for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{o[-4000:]}"
+    try:
+        for p in procs:
+            p.wait(timeout=560)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
+        for p in procs:
+            try:
+                p.wait(timeout=15)
+            except subprocess.TimeoutExpired:
+                p.kill()
+                p.wait()
+        raise
+    for pid, p in enumerate(procs):
+        out = open(logs[pid]).read()
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-4000:]}"
     with open(out_path) as f:
         return json.load(f)
 

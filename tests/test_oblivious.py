@@ -97,18 +97,21 @@ def test_fast_scorer_chunked_matches(obv_model, splits):
     obl = om.oblivious_ensemble()
     T = int(obl.num_trees)
     full = np.asarray(score_oblivious(jnp.asarray(test.features), obl))
-    if T % 5 == 0:
-        chunked = np.asarray(
-            score_oblivious(jnp.asarray(test.features), obl, tree_chunk=T // 5)
-        )
-        np.testing.assert_allclose(full, chunked, atol=1e-5)
+    # pick a REAL divisor of the actual tree count (the trained count is
+    # the validation-rollback prefix, not the requested ntrees — a
+    # conditional `if T % 5 == 0` silently skipped the whole assertion
+    # for most rollback outcomes)
+    chunk = next(c for c in range(min(5, T), 0, -1) if T % c == 0)
+    chunked = np.asarray(
+        score_oblivious(jnp.asarray(test.features), obl, tree_chunk=chunk)
+    )
+    np.testing.assert_allclose(full, chunked, atol=1e-5)
 
 
 def test_binned_scorer_matches_value_scorer(obv_model, splits):
     train, _, _ = splits
     om, _ = obv_model
     obl = om.oblivious_ensemble()
-    b = bin_dataset(train.features, nthresholds=64)
     # Bin-space routing needs the same thresholds used in training.
     from quickrank_tpu.ops.binning import apply_bins
 

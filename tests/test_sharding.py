@@ -312,10 +312,12 @@ def test_dart_linesearch_sharding_variance_bounded(splits):
         h = d.learn(train, None, m, verbose=False, mesh=mesh)
         return h["train"][-1]
 
-    # seed-to-seed spread of the single-device run (3 seeds)
+    # seed-to-seed spread of the single-device run (3 seeds); seeds[0] is
+    # the deterministic seed-1 run, so reuse it for the gap instead of
+    # retraining the identical model
     seeds = [final_ndcg(s) for s in (1, 2, 3)]
     seed_spread = max(seeds) - min(seeds)
-    gap = abs(final_ndcg(1) - final_ndcg(1, mesh=make_mesh(8)))
+    gap = abs(seeds[0] - final_ndcg(1, mesh=make_mesh(8)))
     # the sharding gap must sit below the measured seed variance (with a
     # small absolute floor in case the seeds happen to coincide)
     assert gap <= max(seed_spread, 5e-3), (gap, seed_spread)
