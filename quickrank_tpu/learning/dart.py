@@ -57,6 +57,33 @@ from quickrank_tpu.ops.scoring import leaf_values_onehot, tree_delta_binned
 from quickrank_tpu.trees.grow import leaf_outputs
 from quickrank_tpu.trees.structs import EnsembleTensors, Tree
 
+
+def _qs_delta_enabled() -> bool:
+    """Route the per-iteration dropped-set delta through bin-space QS
+    tables instead of the pad-length descent scan.
+
+    The scan (``_delta_body``) costs one full-dataset descent per PAD
+    slot, and the pad scales with ntrees (2^ceil(log2(2·rate_drop·T)));
+    at ntrees=200 / MSLR scale that is 64 descents ≈ +1.4 s/iter
+    (docs/sweeps/2026-08-21-dart-valid.json).  QS tables score every
+    tree in one grouped-matmul pass with `weight` separate from
+    structure, so zeroing the kept slots yields the same delta with
+    cost ~flat in the drop count.  Deltas differ from the scan only in
+    summation association (Kahan in slot order vs plain sum in drop
+    order); routing and leaf values are bitwise identical (trees/qs.py).
+
+    Gate mirrors mart.rescore_binned: single-controller TPU only (the
+    host-built tables are process-local).  QRTPU_DART_QS_DELTA=0
+    disables; =force enables on any backend (CPU equivalence tests)."""
+    import os
+
+    v = os.environ.get("QRTPU_DART_QS_DELTA", "auto")
+    if v == "0":
+        return False
+    if v == "force":
+        return True
+    return jax.default_backend() == "tpu" and jax.process_count() == 1
+
 SAMPLING_TYPES = (
     "UNIFORM", "WEIGHTED", "WEIGHTED_INV", "TOP_FIFTY", "CONTR", "CONTR_INV",
     "WCONTR", "WCONTR_INV", "TOP_WCONTR", "LESS_WCONTR",
@@ -412,6 +439,9 @@ class Dart(LambdaMart):
                 if va is not None
                 else None
             )
+            # dropped-set deltas via QS tables (see _qs_delta_enabled);
+            # the descent scan above stays as the fallback/mesh path
+            use_qs_delta = _qs_delta_enabled()
             _eval_j = jax.jit(lambda s, sd: eval_metric(metric, sd, s))
             eval_tr = lambda s: _eval_j(s, tr.step)  # noqa: E731
             eval_va = (
@@ -464,6 +494,9 @@ class Dart(LambdaMart):
             delta_va_fn = (
                 _mk_delta(va.step, va_specs, None) if va is not None else None
             )
+            # mesh / multi-host runs keep the shard_map'd descent scan:
+            # host-built QS tables are process-local (see rescore_binned)
+            use_qs_delta = False
 
             def _mk_eval(sd, specs):
                 inner = jax.jit(
@@ -592,14 +625,27 @@ class Dart(LambdaMart):
         # same fixed-shape program every real call reuses; the result is
         # discarded.
         _warm_idx, _warm_w = pad_set([], [])
-        jax.block_until_ready(delta_tr_fn(ens, _warm_idx, _warm_w))
-        if delta_va_fn is not None:
-            jax.block_until_ready(delta_va_fn(ens, _warm_idx, _warm_w))
+        if use_qs_delta:
+            # warm the QS delta program instead of the (unused) descent
+            # scan: capacity-shaped tables + raw binned dtype, so this
+            # one compile serves every dropped iteration
+            from quickrank_tpu.trees.qs import ensemble_to_qs, score_qs
+
+            _qs_w = ensemble_to_qs(ens, space="bin")
+            jax.block_until_ready(score_qs(tr.step.binned, _qs_w))
+            if va is not None:
+                jax.block_until_ready(score_qs(va.step.binned, _qs_w))
+        else:
+            jax.block_until_ready(delta_tr_fn(ens, _warm_idx, _warm_w))
+            if delta_va_fn is not None:
+                jax.block_until_ready(delta_va_fn(ens, _warm_idx, _warm_w))
         if (
             jax.default_backend() == "tpu"
             and jax.process_count() == 1
             and iter_offset == 0  # a warm start's rescore above already
             # compiled and ran the identical capacity-shaped program
+            and not use_qs_delta  # the delta warm above compiled the
+            # same raw-binned capacity-shaped program already
         ):
             # also pre-compile the periodic-rescore QS program (capacity-
             # shaped tables, so one compile serves every rescore): its
@@ -608,13 +654,9 @@ class Dart(LambdaMart):
             from quickrank_tpu.trees.qs import ensemble_to_qs, score_qs
 
             _qs0 = ensemble_to_qs(ens, space="bin")
-            jax.block_until_ready(
-                score_qs(tr.step.binned.astype(jnp.float32), _qs0)
-            )
+            jax.block_until_ready(score_qs(tr.step.binned, _qs0))
             if va is not None:
-                jax.block_until_ready(
-                    score_qs(va.step.binned.astype(jnp.float32), _qs0)
-                )
+                jax.block_until_ready(score_qs(va.step.binned, _qs0))
         init_time = _time.time() - t0
         if verbose:
             print(f"# {self.NAME}: {self!r}")
@@ -668,13 +710,34 @@ class Dart(LambdaMart):
             dropmask = np.zeros(cap, bool)
             if dropped:
                 dropmask[dropped] = True
-                idx, w = pad_set(dropped, w_host[dropped])
-                delta_tr = delta_tr_fn(ens, idx, w)
-                delta_va = (
-                    delta_va_fn(ens, idx, w)
-                    if va is not None
-                    else jnp.zeros((1,), jnp.float32)
-                )
+                if use_qs_delta:
+                    # one grouped-matmul pass, cost ~flat in drop count:
+                    # structure tables for the current ensemble, weight
+                    # vector zero except the dropped slots (score_qs's
+                    # Kahan chain adds exact zeros there)
+                    from quickrank_tpu.trees.qs import (
+                        ensemble_to_qs,
+                        score_qs,
+                    )
+
+                    qs_t = ensemble_to_qs(ens, space="bin")
+                    wvec = np.zeros(qs_t.weight.shape[0], np.float32)
+                    wvec[dropped] = w_host[dropped]
+                    qs_t = qs_t.replace(weight=jnp.asarray(wvec))
+                    delta_tr = score_qs(tr.step.binned, qs_t)
+                    delta_va = (
+                        score_qs(va.step.binned, qs_t)
+                        if va is not None
+                        else jnp.zeros((1,), jnp.float32)
+                    )
+                else:
+                    idx, w = pad_set(dropped, w_host[dropped])
+                    delta_tr = delta_tr_fn(ens, idx, w)
+                    delta_va = (
+                        delta_va_fn(ens, idx, w)
+                        if va is not None
+                        else jnp.zeros((1,), jnp.float32)
+                    )
             else:
                 # fresh zeros each time: these buffers are donated
                 delta_tr = _zeros_like_j(scores_tr)

@@ -1310,7 +1310,11 @@ def rescore_binned(ens: EnsembleTensors, sd: StepData, max_depth: int):
         from quickrank_tpu.trees.qs import ensemble_to_qs, score_qs
 
         qs = ensemble_to_qs(ens, space="bin")
-        return score_qs(sd.binned.astype(jnp.float32), qs)
+        # raw binned: the f32 cast fuses inside the jitted score_qs
+        # (an eager astype would materialize a ~1.4 GB copy at MSLR
+        # scale) and the i32 signature shares one executable with
+        # DART's QS dropped-set deltas
+        return score_qs(sd.binned, qs)
 
     return _rescore_scan_j(ens, sd.binned, max_depth)
 
